@@ -1,0 +1,130 @@
+"""Multi-scale deformable attention core for TPU.
+
+The reference implements this with per-level ``F.grid_sample`` (reference:
+src/d_fine/arch/utils.py:191-264).  On TPU a `grid_sample` translation would
+be a scatter/gather-heavy op XLA can't tile well, so we re-derive it as an
+explicit 4-corner bilinear gather: for every sampling point we gather the 4
+neighbouring texels with `take_along_axis` (one vectorized gather per corner
+per level) and blend with bilinear weights.  Semantics match
+``F.grid_sample(..., mode="bilinear", padding_mode="zeros",
+align_corners=False)`` bit-for-bit in fp32: out-of-bounds corners contribute
+zero via weight masking.
+
+A fused Pallas kernel (dfine_tpu/ops/pallas/deform_attn.py) implements the
+same contract for the serving hot path; this XLA version is the reference
+and the autodiff path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+def _bilinear_gather_level(
+    value: jnp.ndarray,  # [B, nhead, H*W, d]
+    h: int,
+    w: int,
+    loc: jnp.ndarray,  # [B, Q, nhead, P, 2] in [0, 1]
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Sample one level at `loc`; returns [B, Q, nhead, P, d]."""
+    b, nhead, _, d = value.shape
+    q, p = loc.shape[1], loc.shape[3]
+
+    # align_corners=False pixel mapping: x = u*W - 0.5
+    x = loc[..., 0].astype(compute_dtype) * w - 0.5
+    y = loc[..., 1].astype(compute_dtype) * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    out = None
+    for dy, dx, wgt in (
+        (0, 0, (1 - fx) * (1 - fy)),
+        (0, 1, fx * (1 - fy)),
+        (1, 0, (1 - fx) * fy),
+        (1, 1, fx * fy),
+    ):
+        xi = x0i + dx
+        yi = y0i + dy
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)  # [B,Q,nhead,P]
+        # gather along the HW axis: reorder index to [B, nhead, Q*P]
+        idx_t = idx.transpose(0, 2, 1, 3).reshape(b, nhead, q * p)
+        g = jnp.take_along_axis(value, idx_t[..., None], axis=2)  # [B,nhead,Q*P,d]
+        g = g.reshape(b, nhead, q, p, d).transpose(0, 2, 1, 3, 4)  # [B,Q,nhead,P,d]
+        wgt = (wgt * valid.astype(compute_dtype))[..., None]
+        out = g * wgt if out is None else out + g * wgt
+    return out
+
+
+def ms_deform_attn_core(
+    value: jnp.ndarray,  # [B, sum(HW), nhead, d]
+    spatial_shapes: Sequence[Tuple[int, int]],  # static [(h,w), ...]
+    sampling_locations: jnp.ndarray,  # [B, Q, nhead, sum(P), 2] in [0,1]
+    attention_weights: jnp.ndarray,  # [B, Q, nhead, sum(P)] softmaxed
+    num_points_list: Sequence[int],  # static per-level point counts
+) -> jnp.ndarray:
+    """Deformable attention: weighted sum of bilinear samples.
+
+    Contract mirrors reference arch/utils.py:191-264 (method="default") with
+    `2*loc-1` grid folded into the [0,1] convention. Returns [B, Q, nhead*d].
+    """
+    b, q = sampling_locations.shape[:2]
+    nhead, d = value.shape[2], value.shape[3]
+    compute_dtype = jnp.promote_types(value.dtype, jnp.float32)
+
+    hw_sizes = [h * w for h, w in spatial_shapes]
+    out = jnp.zeros((b, q, nhead, d), dtype=compute_dtype)
+    hw_start = 0
+    p_start = 0
+    for (h, w), hw, p in zip(spatial_shapes, hw_sizes, num_points_list):
+        v = value[:, hw_start : hw_start + hw]  # [B, HW, nhead, d]
+        v = v.transpose(0, 2, 1, 3)  # [B, nhead, HW, d]
+        loc = sampling_locations[:, :, :, p_start : p_start + p]
+        att = attention_weights[:, :, :, p_start : p_start + p].astype(compute_dtype)
+        sampled = _bilinear_gather_level(v, h, w, loc, compute_dtype)  # [B,Q,nhead,P,d]
+        out = out + jnp.einsum("bqnpd,bqnp->bqnd", sampled, att)
+        hw_start += hw
+        p_start += p
+    return out.reshape(b, q, nhead * d)
+
+
+def grid_sample_bilinear(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Standalone grid_sample(bilinear, zeros, align_corners=False) for NHWC.
+
+    image: [B, H, W, C]; grid: [B, Hg, Wg, 2] in [-1, 1] (x, y order).
+    Returns [B, Hg, Wg, C].  Used for parity tests and mask-paste paths.
+    """
+    b, h, w, c = image.shape
+    gx = (grid[..., 0] + 1.0) * (w / 2.0) - 0.5
+    gy = (grid[..., 1] + 1.0) * (h / 2.0) - 0.5
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    fx = gx - x0
+    fy = gy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    flat = image.reshape(b, h * w, c)
+    out = None
+    for dy, dx, wgt in (
+        (0, 0, (1 - fx) * (1 - fy)),
+        (0, 1, fx * (1 - fy)),
+        (1, 0, (1 - fx) * fy),
+        (1, 1, fx * fy),
+    ):
+        xi = x0i + dx
+        yi = y0i + dy
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        g = jnp.take_along_axis(flat, idx.reshape(b, -1)[..., None], axis=1)
+        g = g.reshape(grid.shape[:-1] + (c,))
+        wgt = (wgt * valid.astype(image.dtype))[..., None]
+        out = g * wgt if out is None else out + g * wgt
+    return out
