@@ -1,0 +1,614 @@
+"""DFINETransformer decoder in flax — deformable DETR decoder with FDR.
+
+Capability mirror of reference src/d_fine/arch/dfine_decoder.py:533-1125,
+re-designed for XLA:
+  * anchors/position constants are numpy compile-time constants
+  * the eval short-circuit (reference :501-511) becomes a static unroll over
+    ``eval_idx + 1`` layers — dead layers are never traced
+  * CDN groups have static geometry (see models/denoising.py)
+  * ``.detach()`` becomes ``jax.lax.stop_gradient``
+  * the train/eval paths are two jit specializations of one module
+
+``layer_scale != 1`` (the "wide post-eval layers" variant, reference
+:408-411) is not implemented — no shipped size config uses it.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.boxes import inverse_sigmoid
+from ..ops.deform_attn import ms_deform_attn_core
+from ..ops.fdr import distance2bbox, integral, weighting_function
+from .layers import ConvBNA, MLP, MultiHeadSelfAttention, get_activation
+from .denoising import build_cdn_queries, dn_attn_mask
+
+
+def bias_init_with_prob(prior: float) -> float:
+    return float(-math.log((1 - prior) / prior))
+
+
+def generate_anchors(
+    spatial_shapes: Sequence[Tuple[int, int]], grid_size: float = 0.05, eps: float = 1e-2
+):
+    """Per-level anchor logits + validity (reference dfine_decoder.py:815-838).
+
+    Pure numpy -> compile-time constants. Returns (anchors [1, sumHW, 4]
+    logit-space with +inf at invalid, valid [1, sumHW, 1] bool).
+    """
+    anchors = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        gy, gx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        xy = (np.stack([gx, gy], -1).astype(np.float32) + 0.5) / np.array(
+            [w, h], np.float32
+        )
+        wh = np.full_like(xy, grid_size * (2.0**lvl))
+        anchors.append(np.concatenate([xy, wh], -1).reshape(-1, 4))
+    a = np.concatenate(anchors, 0)[None]  # [1, sumHW, 4]
+    valid = ((a > eps) & (a < 1 - eps)).all(-1, keepdims=True)
+    a = np.log(a / (1 - a))
+    a = np.where(valid, a, np.inf).astype(np.float32)
+    return a, valid
+
+
+def _offsets_bias_init(num_heads: int, num_points_list: Sequence[int]) -> np.ndarray:
+    """Radial grid init of sampling-offset biases (reference dfine_decoder.py:100-113)."""
+    thetas = np.arange(num_heads, dtype=np.float32) * (2.0 * np.pi / num_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    total = sum(num_points_list)
+    grid = np.tile(grid.reshape(num_heads, 1, 2), (1, total, 1))
+    scaling = np.concatenate([np.arange(1, n + 1) for n in num_points_list]).reshape(1, -1, 1)
+    return (grid * scaling).reshape(-1).astype(np.float32)
+
+
+class MSDeformableAttention(nn.Module):
+    """Query-conditioned multi-scale deformable attention
+    (reference dfine_decoder.py:49-178).  No value/output projections —
+    D-FINE removes them."""
+
+    embed_dim: int
+    num_heads: int
+    num_levels: int
+    num_points_list: Sequence[int]
+    offset_scale: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # [B, Q, C]
+        reference_points: jnp.ndarray,  # [B, Q, 4] cxcywh in [0,1]
+        value: jnp.ndarray,  # [B, sumHW, nhead, d]
+        spatial_shapes: Sequence[Tuple[int, int]],
+    ):
+        b, q = query.shape[:2]
+        total_p = sum(self.num_points_list)
+        np_scale = np.asarray(
+            [1.0 / n for n in self.num_points_list for _ in range(n)], np.float32
+        )
+
+        bias0 = _offsets_bias_init(self.num_heads, self.num_points_list)
+        offsets = nn.Dense(
+            total_p * self.num_heads * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda *_: jnp.asarray(bias0),
+            dtype=self.dtype,
+            name="sampling_offsets",
+        )(query).reshape(b, q, self.num_heads, total_p, 2)
+        attn = nn.Dense(
+            total_p * self.num_heads,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="attention_weights",
+        )(query).reshape(b, q, self.num_heads, total_p)
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1)
+
+        offsets = offsets.astype(jnp.float32)
+        ref = reference_points.astype(jnp.float32)
+        off = offsets * np_scale[:, None] * ref[:, :, None, None, 2:] * self.offset_scale
+        loc = ref[:, :, None, None, :2] + off  # [B,Q,H,P,2]
+        out = ms_deform_attn_core(value, spatial_shapes, loc, attn, self.num_points_list)
+        return out.astype(query.dtype)
+
+
+class Gate(nn.Module):
+    """Gated fusion of self/cross features (reference dfine_decoder.py:258-271)."""
+
+    d_model: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2):
+        gates = nn.Dense(
+            2 * self.d_model,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.constant(bias_init_with_prob(0.5)),
+            dtype=self.dtype,
+            name="gate",
+        )(jnp.concatenate([x1, x2], axis=-1))
+        gates = nn.sigmoid(gates)
+        g1, g2 = gates[..., : self.d_model], gates[..., self.d_model :]
+        out = g1 * x1 + g2 * x2
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(out).astype(self.dtype)
+
+
+class LQE(nn.Module):
+    """Location quality estimator: corner-distribution statistics refine the
+    class scores (reference dfine_decoder.py:298-313)."""
+
+    k: int
+    hidden_dim: int
+    num_layers: int
+    reg_max: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, scores, pred_corners):
+        b, l = pred_corners.shape[:2]
+        prob = nn.softmax(
+            pred_corners.reshape(b, l, 4, self.reg_max + 1).astype(jnp.float32), axis=-1
+        )
+        topk, _ = jax.lax.top_k(prob, self.k)
+        stat = jnp.concatenate([topk, topk.mean(-1, keepdims=True)], axis=-1)
+        q = MLP(
+            self.hidden_dim,
+            1,
+            self.num_layers,
+            zero_last=True,
+            dtype=self.dtype,
+            name="reg_conf",
+        )(stat.reshape(b, l, -1).astype(self.dtype))
+        return scores + q
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Self-attn + deformable cross-attn + gate + FFN
+    (reference dfine_decoder.py:181-255)."""
+
+    d_model: int
+    n_head: int
+    dim_feedforward: int
+    num_levels: int
+    num_points_list: Sequence[int]
+    activation: str = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, target, ref_points, value, spatial_shapes, attn_mask, query_pos):
+        q = k = target + query_pos
+        t2 = MultiHeadSelfAttention(self.d_model, self.n_head, dtype=self.dtype, name="self_attn")(
+            q, k, target, mask=attn_mask
+        )
+        target = target + t2
+        target = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(target).astype(
+            self.dtype
+        )
+
+        t2 = MSDeformableAttention(
+            self.d_model,
+            self.n_head,
+            self.num_levels,
+            self.num_points_list,
+            dtype=self.dtype,
+            name="cross_attn",
+        )(target + query_pos, ref_points, value, spatial_shapes)
+        target = Gate(self.d_model, dtype=self.dtype, name="gateway")(target, t2)
+
+        ff = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(target)
+        ff = get_activation(self.activation)(ff)
+        ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
+        target = target + ff
+        target = jnp.clip(target, -65504, 65504)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(target).astype(
+            self.dtype
+        )
+
+
+class MaskPixelDecoder(nn.Module):
+    """FPN-feature fusion -> stride-4 mask features
+    (reference dfine_decoder.py:316-376).  NHWC; bilinear = half-pixel."""
+
+    out_ch: int = 256
+    use_enc: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray], enc_feat, train: bool = False):
+        def lat(i, x):
+            x = nn.Conv(
+                self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name=f"lateral_{i}"
+            )(x)
+            return (
+                nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    dtype=jnp.float32,
+                    name=f"bn_{i}",
+                )(x)
+            ).astype(self.dtype)
+
+        f0 = lat(0, feats[0])
+        size = f0.shape[1:3]
+        x = f0
+        for i in range(1, len(feats)):
+            t = lat(i, feats[i])
+            t = jax.image.resize(t, (t.shape[0],) + size + (t.shape[-1],), "bilinear")
+            x = x + t
+        if self.use_enc and enc_feat is not None:
+            e = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="enc_proj")(
+                enc_feat
+            )
+            e = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                name="enc_bn",
+            )(e).astype(self.dtype)
+            e = jax.image.resize(e, (e.shape[0],) + size + (e.shape[-1],), "bilinear")
+            x = x + e
+        x = nn.ConvTranspose(
+            self.out_ch,
+            (2, 2),
+            strides=(2, 2),
+            padding="VALID",
+            use_bias=False,
+            dtype=self.dtype,
+            name="upconv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            name="bn1",
+        )(x).astype(self.dtype)
+        return nn.relu(x)
+
+
+class DFINETransformer(nn.Module):
+    num_classes: int = 80
+    hidden_dim: int = 256
+    num_queries: int = 300
+    feat_channels: Sequence[int] = (256, 256, 256)
+    feat_strides: Sequence[int] = (8, 16, 32)
+    num_levels: int = 3
+    num_points: Sequence[int] = (3, 6, 3)
+    nhead: int = 8
+    num_layers: int = 6
+    dim_feedforward: int = 1024
+    activation: str = "relu"
+    num_denoising: int = 100
+    label_noise_ratio: float = 0.5
+    box_noise_scale: float = 1.0
+    learn_query_content: bool = False
+    eval_idx: int = -1
+    eps: float = 1e-2
+    aux_loss: bool = True
+    query_select_method: str = "default"
+    reg_max: int = 32
+    reg_scale: float = 4.0
+    up: float = 0.5
+    enable_mask_head: bool = False
+    mask_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    def _eval_idx(self):
+        return self.eval_idx if self.eval_idx >= 0 else self.num_layers + self.eval_idx
+
+    @nn.compact
+    def __call__(self, all_feats, targets=None, train: bool = False):
+        feats, inner_feats = all_feats
+        b = feats[0].shape[0]
+        hd = self.hidden_dim
+        cls_bias = bias_init_with_prob(0.01)
+        eval_idx = self._eval_idx()
+
+        # ---- input projection + flatten (reference :790-813)
+        proj = []
+        for i, f in enumerate(feats):
+            if f.shape[-1] == hd:
+                proj.append(f)
+            else:
+                proj.append(
+                    ConvBNA(hd, 1, 1, act=None, dtype=self.dtype, name=f"input_proj_{i}")(f, train)
+                )
+        # extra pyramid levels if num_levels > len(feats)
+        for i in range(len(feats), self.num_levels):
+            src = proj[-1] if i > len(feats) else feats[-1]
+            proj.append(
+                ConvBNA(
+                    hd,
+                    3,
+                    2,
+                    act=None,
+                    dtype=self.dtype,
+                    name=f"input_proj_{i}",
+                )(src, train)
+            )
+        spatial_shapes = tuple((p.shape[1], p.shape[2]) for p in proj)
+        memory = jnp.concatenate([p.reshape(b, -1, hd) for p in proj], axis=1)
+
+        # ---- CDN (train only; static geometry)
+        attn_mask = None
+        dn_meta = None
+        dn_cls = None
+        if train and self.num_denoising > 0 and targets is not None:
+            rng = self.make_rng("dn")
+            dn_cls, dn_bbox_unact, dn_meta = build_cdn_queries(
+                targets["labels"],
+                targets["boxes"],
+                targets["valid"],
+                rng,
+                self.num_classes,
+                self.num_denoising,
+                self.label_noise_ratio,
+                self.box_noise_scale,
+            )
+            keep = dn_attn_mask(dn_meta.num_group, dn_meta.max_gt, self.num_queries)
+            attn_mask = jnp.asarray(keep)[None, None]  # [1,1,T,T]
+            embed = nn.Embed(
+                self.num_classes + 1,
+                hd,
+                embedding_init=nn.initializers.normal(1.0),
+                dtype=self.dtype,
+                name="denoising_class_embed",
+            )
+            dn_logits = embed(dn_cls)
+            # padding_idx semantics: background row contributes zeros
+            dn_logits = jnp.where((dn_cls == self.num_classes)[..., None], 0.0, dn_logits)
+        else:
+            dn_logits = None
+            dn_bbox_unact = None
+
+        # ---- encoder head + top-k query selection (reference :840-922)
+        anchors_np, valid_np = generate_anchors(spatial_shapes, eps=self.eps)
+        anchors = jnp.asarray(anchors_np)
+        valid_mask = jnp.asarray(valid_np)
+        memory = valid_mask.astype(memory.dtype) * memory
+
+        out_mem = nn.Dense(hd, dtype=self.dtype, name="enc_output_proj")(memory)
+        out_mem = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="enc_output_norm")(
+            out_mem
+        ).astype(self.dtype)
+        enc_logits_dim = 1 if self.query_select_method == "agnostic" else self.num_classes
+        enc_logits = nn.Dense(
+            enc_logits_dim,
+            bias_init=nn.initializers.constant(cls_bias),
+            dtype=self.dtype,
+            name="enc_score_head",
+        )(out_mem)
+
+        if self.query_select_method == "default":
+            sel = enc_logits.max(-1)
+            _, topk_ind = jax.lax.top_k(sel, self.num_queries)  # [B, Q]
+        elif self.query_select_method == "one2many":
+            _, flat_ind = jax.lax.top_k(
+                enc_logits.reshape(b, -1), self.num_queries
+            )
+            topk_ind = flat_ind // self.num_classes
+        elif self.query_select_method == "agnostic":
+            _, topk_ind = jax.lax.top_k(enc_logits[..., 0], self.num_queries)
+        else:
+            raise ValueError(self.query_select_method)
+
+        def gather_q(x):
+            return jnp.take_along_axis(x, topk_ind[..., None], axis=1)
+
+        topk_memory = gather_q(out_mem)
+        topk_logits = gather_q(enc_logits)
+        topk_anchors = jnp.take_along_axis(
+            jnp.broadcast_to(anchors, (b,) + anchors.shape[1:]), topk_ind[..., None], axis=1
+        )
+
+        enc_bbox_unact = (
+            MLP(hd, 4, 3, zero_last=True, dtype=self.dtype, name="enc_bbox_head")(topk_memory)
+            + topk_anchors
+        )
+
+        enc_aux = None
+        if train:
+            enc_aux = [
+                {"pred_logits": topk_logits, "pred_boxes": nn.sigmoid(enc_bbox_unact)}
+            ]
+
+        content = jax.lax.stop_gradient(topk_memory)
+        if self.learn_query_content:
+            tgt_embed = self.param(
+                "tgt_embed", nn.initializers.xavier_uniform(), (self.num_queries, hd)
+            )
+            content = jnp.tile(tgt_embed[None], (b, 1, 1)).astype(self.dtype)
+        ref_unact = jax.lax.stop_gradient(enc_bbox_unact)
+
+        if dn_bbox_unact is not None:
+            ref_unact = jnp.concatenate([dn_bbox_unact.astype(ref_unact.dtype), ref_unact], 1)
+            content = jnp.concatenate([dn_logits, content], 1)
+
+        # ---- decoder unroll (reference TransformerDecoder.forward :435-530)
+        project = weighting_function(self.reg_max, self.up, self.reg_scale)
+        value = memory.reshape(b, memory.shape[1], self.nhead, hd // self.nhead)
+
+        num_run_layers = self.num_layers if train else eval_idx + 1
+        output = content
+        output_detach = jnp.zeros_like(output)
+        pred_corners_undetach = 0.0
+        ref_points_detach = nn.sigmoid(ref_unact)
+
+        dec_bboxes, dec_logits, dec_corners, dec_refs, dec_hs = [], [], [], [], []
+        pre_bboxes = pre_scores = ref_points_initial = None
+        query_pos_head = MLP(2 * hd, hd, 2, dtype=self.dtype, name="query_pos_head")
+
+        for i in range(num_run_layers):
+            query_pos = jnp.clip(
+                query_pos_head(ref_points_detach.astype(self.dtype)), -10, 10
+            )
+            output = TransformerDecoderLayer(
+                hd,
+                self.nhead,
+                self.dim_feedforward,
+                self.num_levels,
+                tuple(self.num_points),
+                self.activation,
+                dtype=self.dtype,
+                name=f"decoder_layers_{i}",
+            )(output, ref_points_detach, value, spatial_shapes, attn_mask, query_pos)
+            if self.enable_mask_head:
+                dec_hs.append(output)
+
+            if i == 0:
+                pre_unact = MLP(hd, 4, 3, zero_last=True, dtype=self.dtype, name="pre_bbox_head")(
+                    output
+                ) + inverse_sigmoid(ref_points_detach)
+                pre_bboxes = nn.sigmoid(pre_unact)
+                pre_scores = nn.Dense(
+                    self.num_classes,
+                    bias_init=nn.initializers.constant(cls_bias),
+                    dtype=self.dtype,
+                    name="dec_score_head_0",
+                )(output)
+                ref_points_initial = jax.lax.stop_gradient(pre_bboxes)
+
+            pred_corners = (
+                MLP(
+                    hd,
+                    4 * (self.reg_max + 1),
+                    3,
+                    zero_last=True,
+                    dtype=self.dtype,
+                    name=f"dec_bbox_head_{i}",
+                )(output + output_detach)
+                + pred_corners_undetach
+            )
+            inter_ref_bbox = distance2bbox(
+                ref_points_initial,
+                integral(pred_corners, project, self.reg_max),
+                self.reg_scale,
+            )
+
+            if train or i == eval_idx:
+                if i == 0:
+                    scores = pre_scores
+                else:
+                    scores = nn.Dense(
+                        self.num_classes,
+                        bias_init=nn.initializers.constant(cls_bias),
+                        dtype=self.dtype,
+                        name=f"dec_score_head_{i}",
+                    )(output)
+                scores = LQE(4, 64, 2, self.reg_max, dtype=self.dtype, name=f"lqe_layers_{i}")(
+                    scores, pred_corners
+                )
+                dec_logits.append(scores)
+                dec_bboxes.append(inter_ref_bbox)
+                dec_corners.append(pred_corners)
+                dec_refs.append(ref_points_initial)
+
+            pred_corners_undetach = pred_corners
+            ref_points_detach = jax.lax.stop_gradient(inter_ref_bbox)
+            output_detach = jax.lax.stop_gradient(output)
+
+        # ---- split DN / matching queries
+        def split_dn(x, axis=1):
+            if dn_meta is None:
+                return None, x
+            d = dn_meta.num_denoising
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(0, d)
+            a = x[tuple(sl)]
+            sl[axis] = slice(d, None)
+            return a, x[tuple(sl)]
+
+        dn_bboxes = dn_logits_out = dn_corners = dn_refs2 = None
+        if dn_meta is not None:
+            dn_pre_bboxes, pre_bboxes = split_dn(pre_bboxes)
+            dn_pre_scores, pre_scores = split_dn(pre_scores)
+            dn_bboxes, dec_bboxes = zip(*[split_dn(x) for x in dec_bboxes])
+            dn_logits_out, dec_logits = zip(*[split_dn(x) for x in dec_logits])
+            dn_corners, dec_corners = zip(*[split_dn(x) for x in dec_corners])
+            dn_refs2, dec_refs = zip(*[split_dn(x) for x in dec_refs])
+            dec_bboxes, dec_logits = list(dec_bboxes), list(dec_logits)
+            dec_corners, dec_refs = list(dec_corners), list(dec_refs)
+
+        # ---- segmentation head (reference :998-1022)
+        pred_masks = None
+        aux_masks = None
+        dn_masks = None
+        if self.enable_mask_head:
+            h0, w0 = spatial_shapes[0]
+            mem0 = memory[:, : h0 * w0].reshape(b, h0, w0, hd)
+            mask_feat = MaskPixelDecoder(self.mask_dim, dtype=self.dtype, name="pixel_decoder")(
+                inner_feats, mem0, train
+            )
+            mask_mlp = MLP(hd, self.mask_dim, 3, dtype=self.dtype, name="mask_head")
+
+            def mask_logits(h):
+                emb = mask_mlp(h)
+                return jnp.einsum("bqc,bxyc->bqxy", emb, mask_feat)
+
+            hs_dn = [split_dn(h)[0] for h in dec_hs] if dn_meta is not None else None
+            hs_m = [split_dn(h)[1] for h in dec_hs] if dn_meta is not None else dec_hs
+            pred_masks = mask_logits(hs_m[-1])
+            if train:
+                aux_masks = [mask_logits(h) for h in hs_m[:-1]]
+                if hs_dn is not None:
+                    dn_masks = [mask_logits(h) for h in hs_dn]
+
+        # ---- outputs
+        if not train:
+            out = {"pred_logits": dec_logits[-1], "pred_boxes": dec_bboxes[-1]}
+            if pred_masks is not None:
+                out["pred_masks"] = nn.sigmoid(pred_masks)
+            return out
+
+        out = {
+            "pred_logits": dec_logits[-1],
+            "pred_boxes": dec_bboxes[-1],
+            "pred_corners": dec_corners[-1],
+            "ref_points": dec_refs[-1],
+        }
+        if pred_masks is not None:
+            out["pred_masks"] = pred_masks
+        if self.aux_loss:
+            out["aux_outputs"] = [
+                {
+                    "pred_logits": dec_logits[i],
+                    "pred_boxes": dec_bboxes[i],
+                    "pred_corners": dec_corners[i],
+                    "ref_points": dec_refs[i],
+                    **({"pred_masks": aux_masks[i]} if aux_masks is not None else {}),
+                }
+                for i in range(len(dec_logits) - 1)
+            ]
+            out["enc_aux_outputs"] = enc_aux
+            out["pre_outputs"] = {"pred_logits": pre_scores, "pred_boxes": pre_bboxes}
+            out["enc_meta"] = {"class_agnostic": self.query_select_method == "agnostic"}
+            if dn_meta is not None:
+                out["dn_outputs"] = [
+                    {
+                        "pred_logits": dn_logits_out[i],
+                        "pred_boxes": dn_bboxes[i],
+                        "pred_corners": dn_corners[i],
+                        "ref_points": dn_refs2[i],
+                        **({"pred_masks": dn_masks[i]} if dn_masks is not None else {}),
+                    }
+                    for i in range(len(dn_logits_out))
+                ]
+                out["dn_pre_outputs"] = {
+                    "pred_logits": dn_pre_scores,
+                    "pred_boxes": dn_pre_bboxes,
+                }
+                out["dn_meta"] = {
+                    "dn_num_group": dn_meta.num_group,
+                    "dn_num_split": (dn_meta.num_denoising, self.num_queries),
+                    "max_gt": dn_meta.max_gt,
+                }
+        return out
