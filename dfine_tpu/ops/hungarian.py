@@ -1,0 +1,114 @@
+"""Exact Hungarian assignment ON DEVICE — no host round-trip.
+
+The reference ships cost matrices GPU->CPU and loops scipy's C++ LAPJV per
+image (src/d_fine/matcher.py:112-120); SURVEY.md ranks that host hop as hot
+loop #3.  The TPU backend here does not support host callbacks at all, and a
+round-trip would stall the step pipeline anyway — so we run the SAME
+shortest-augmenting-path algorithm (Jonker–Volgenant with dual potentials)
+as a jit-compiled JAX function:
+
+* all per-column work is a [Q]-wide vector op (VPU-friendly),
+* the row loop is a ``fori_loop`` of G iterations, the path growth a
+  ``while_loop`` bounded by G+1 (each intermediate column is assigned),
+* the whole solver is ``vmap``-ed over every (output-set, image) problem in
+  the batch, so S*B tiny LAPs run as one fused kernel.
+
+Exactness: identical optimum to scipy's linear_sum_assignment (tested in
+tests/test_matcher.py); only tie-breaking may differ.  The C++ twin of this
+algorithm lives in dfine_tpu/native/lapjv.cpp for host-side tooling.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(1e30)
+
+
+def _solve_one(cost: jnp.ndarray) -> jnp.ndarray:
+    """cost: [G, Q] float32 (G <= Q).  Returns col4row [G] int32."""
+    g, q = cost.shape
+
+    def outer(cur, carry):
+        u, v, col4row, row4col = carry
+
+        # --- grow shortest augmenting path from row `cur`
+        def path_cond(st):
+            return st[0] < 0
+
+        def path_body(st):
+            sink, i, minval, shortest, pred, done, row_scanned = st
+            row_scanned = row_scanned.at[i].set(True)
+            rc = minval + cost[i] - u[i] - v  # [Q]
+            upd = (rc < shortest) & ~done
+            shortest = jnp.where(upd, rc, shortest)
+            pred = jnp.where(upd, i, pred)
+            masked = jnp.where(done, _INF, shortest)
+            j = jnp.argmin(masked)
+            minval = masked[j]
+            done = done.at[j].set(True)
+            free = row4col[j] < 0
+            sink = jnp.where(free, j, -1)
+            i = jnp.where(free, i, row4col[j])
+            return sink, i, minval, shortest, pred, done, row_scanned
+
+        init = (
+            jnp.int32(-1),
+            cur,
+            jnp.float32(0.0),
+            jnp.full((q,), _INF, jnp.float32),
+            jnp.zeros((q,), jnp.int32),
+            jnp.zeros((q,), bool),
+            jnp.zeros((g,), bool),
+        )
+        sink, _, minval, shortest, pred, done, row_scanned = jax.lax.while_loop(
+            path_cond, path_body, init
+        )
+
+        # --- dual updates over scanned sets
+        rows = jnp.arange(g)
+        short_at_assigned = shortest[jnp.clip(col4row, 0, q - 1)]  # [G]
+        u = u + jnp.where(
+            rows == cur,
+            minval,
+            jnp.where(row_scanned, minval - short_at_assigned, 0.0),
+        )
+        v = jnp.where(done, v - (minval - shortest), v)
+
+        # --- augment along the alternating path
+        def aug_cond(st):
+            return ~st[0]
+
+        def aug_body(st):
+            _, j, col4row, row4col = st
+            r = pred[j]
+            row4col = row4col.at[j].set(r)
+            nxt = col4row[r]
+            col4row = col4row.at[r].set(j)
+            return r == cur, nxt, col4row, row4col
+
+        _, _, col4row, row4col = jax.lax.while_loop(
+            aug_cond, aug_body, (jnp.bool_(False), sink, col4row, row4col)
+        )
+        return u, v, col4row, row4col
+
+    u0 = jnp.zeros((g,), jnp.float32)
+    v0 = jnp.zeros((q,), jnp.float32)
+    c0 = jnp.full((g,), -1, jnp.int32)
+    r0 = jnp.full((q,), -1, jnp.int32)
+    _, _, col4row, _ = jax.lax.fori_loop(0, g, outer, (u0, v0, c0, r0))
+    return col4row
+
+
+def hungarian(cost: jnp.ndarray) -> jnp.ndarray:
+    """Batched exact min-cost assignment.
+
+    cost: [..., G, Q] with G <= Q.  Returns col4row [..., G] int32 — the
+    column assigned to each row.  Non-differentiable (stop_gradient inside).
+    """
+    cost = jax.lax.stop_gradient(cost.astype(jnp.float32))
+    lead = cost.shape[:-2]
+    flat = cost.reshape((-1,) + cost.shape[-2:])
+    out = jax.vmap(_solve_one)(flat)
+    return out.reshape(lead + cost.shape[-2:-1])

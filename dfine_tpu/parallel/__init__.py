@@ -1,0 +1,1 @@
+from .dp import make_mesh, shard_batch, make_dp_train_step, replicate, unreplicate  # noqa: F401

@@ -1,0 +1,462 @@
+"""D-FINE training criterion — static-shape JAX re-derivation.
+
+Capability mirror of the reference DFINECriterion (src/d_fine/
+dfine_criterion.py:21-665) re-designed for XLA:
+
+* targets are PADDED: ``{labels [B,G], boxes [B,G,4], valid [B,G],
+  masks [B,G,Hm,Wm] + mask_valid [B,G] (optional)}`` — no ragged lists.
+* matching for every output set (final + aux + pre + enc) happens in ONE
+  host callback (see dfine_tpu/matcher.py); each match is a ``[B, G]``
+  query-index array, losses become masked gathers/scatters (assignments are
+  injective so scatters never collide).
+* the "go" union of matches across decoder layers (reference :371-392)
+  arrives as fixed-size ``go_q/go_t/go_valid [B, K]`` arrays.
+* loss normalizers ``num_boxes`` / ``num_boxes_go`` are ``lax.psum``-reduced
+  over the data-parallel axis (reference :440-453 all_reduce), clamped at 1.
+* FGL targets depend only on ``ref_points_initial`` (identical across
+  layers) — computed once, mirroring the reference's per-batch cache
+  (:62-66, 394-397).
+* DDF for the final==teacher layer is exactly zero by construction, which
+  reproduces the reference's ``torch.equal`` short-circuit (:194-199).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..matcher import MatcherConfig, matching_cost, solve_matchings
+from ..models.denoising import dn_match_indices
+from ..ops.boxes import (
+    box_cxcywh_to_xyxy,
+    box_iou_aligned,
+    generalized_box_iou_aligned,
+)
+from ..ops.fdr import bbox2distance
+
+
+def default_weight_dict() -> Dict[str, float]:
+    """Loss weights (reference src/d_fine/configs.py:26-38)."""
+    return {
+        "loss_vfl": 1.0,
+        "loss_bbox": 5.0,
+        "loss_giou": 2.0,
+        "loss_fgl": 0.15,
+        "loss_ddf": 1.5,
+        "loss_mask_bce": 10.0,
+        "loss_mask_dice": 10.0,
+    }
+
+
+@dataclass(frozen=True)
+class CriterionConfig:
+    num_classes: int = 80
+    losses: Tuple[str, ...] = ("vfl", "boxes", "local")
+    weight_dict: Dict[str, float] = field(default_factory=default_weight_dict)
+    alpha: float = 0.75
+    gamma: float = 2.0
+    reg_max: int = 32
+    reg_scale: float = 4.0
+    up: float = 0.5
+    label_smoothing: float = 0.0
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    ddf_temperature: float = 5.0
+
+
+# --------------------------------------------------------------- helpers --
+
+
+def _gather_bk(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, Q, ...], idx: [B, K] -> [B, K, ...]."""
+    ind = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+    ind = jnp.broadcast_to(ind, idx.shape + x.shape[2:])
+    return jnp.take_along_axis(x, ind, axis=1)
+
+
+def _pair_iou(pred_boxes, match_q, tgt_boxes, tgt_idx=None):
+    """IoU of matched (pred, gt) pairs. pred [B,Q,4], tgt [B,G,4] cxcywh.
+
+    tgt_idx=None means GT slot g pairs with match_q[b, g]."""
+    p = _gather_bk(pred_boxes.astype(jnp.float32), match_q)
+    t = tgt_boxes if tgt_idx is None else _gather_bk(tgt_boxes, tgt_idx)
+    return box_iou_aligned(box_cxcywh_to_xyxy(p), box_cxcywh_to_xyxy(t.astype(jnp.float32)))
+
+
+# ----------------------------------------------------------------- losses --
+
+
+def loss_vfl(outputs, tgt, match_q, pair_valid, num_boxes, cfg: CriterionConfig, tgt_idx=None):
+    """Varifocal loss (reference dfine_criterion.py:92-122)."""
+    logits = outputs["pred_logits"].astype(jnp.float32)
+    b, q, c = logits.shape
+    iou = jax.lax.stop_gradient(_pair_iou(outputs["pred_boxes"], match_q, tgt["boxes"], tgt_idx))
+    labels = tgt["labels"] if tgt_idx is None else _gather_bk(tgt["labels"][..., None], tgt_idx)[..., 0]
+
+    b_ar = jnp.arange(b)[:, None]
+    safe_q = jnp.where(pair_valid, match_q, q)  # q is out-of-range -> dropped
+    cls_grid = jnp.full((b, q), cfg.num_classes, jnp.int32)
+    cls_grid = cls_grid.at[b_ar, safe_q].set(
+        jnp.where(pair_valid, labels, cfg.num_classes).astype(jnp.int32), mode="drop"
+    )
+    iou_grid = jnp.zeros((b, q), jnp.float32).at[b_ar, safe_q].set(
+        jnp.where(pair_valid, iou, 0.0), mode="drop"
+    )
+
+    onehot = jax.nn.one_hot(cls_grid, cfg.num_classes + 1, dtype=jnp.float32)[..., :-1]
+    target_score = iou_grid[..., None] * onehot
+    pred_score = jax.lax.stop_gradient(jax.nn.sigmoid(logits))
+    weight = cfg.alpha * (pred_score**cfg.gamma) * (1.0 - onehot) + target_score
+
+    bce = _bce_with_logits(logits, target_score) * weight
+    return {"loss_vfl": bce.sum() / num_boxes}
+
+
+def loss_focal(outputs, tgt, match_q, pair_valid, num_boxes, cfg: CriterionConfig, tgt_idx=None):
+    """Sigmoid focal classification loss with label smoothing
+    (reference dfine_criterion.py:68-90; unused by default losses)."""
+    logits = outputs["pred_logits"].astype(jnp.float32)
+    b, q, c = logits.shape
+    labels = tgt["labels"] if tgt_idx is None else _gather_bk(tgt["labels"][..., None], tgt_idx)[..., 0]
+    b_ar = jnp.arange(b)[:, None]
+    safe_q = jnp.where(pair_valid, match_q, q)
+    cls_grid = jnp.full((b, q), cfg.num_classes, jnp.int32)
+    cls_grid = cls_grid.at[b_ar, safe_q].set(
+        jnp.where(pair_valid, labels, cfg.num_classes).astype(jnp.int32), mode="drop"
+    )
+    target = jax.nn.one_hot(cls_grid, cfg.num_classes + 1, dtype=jnp.float32)[..., :-1]
+    if cfg.label_smoothing > 0:
+        eps = cfg.label_smoothing
+        target = target * (1 - eps) + eps / c
+
+    p = jax.nn.sigmoid(logits)
+    bce = _bce_with_logits(logits, target)
+    p_t = p * target + (1 - p) * (1 - target)
+    loss = bce * ((1 - p_t) ** cfg.gamma)
+    alpha_t = cfg.alpha * target + (1 - cfg.alpha) * (1 - target)
+    loss = alpha_t * loss
+    return {"loss_focal": loss.sum() / num_boxes}
+
+
+def _bce_with_logits(logits, targets):
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def loss_boxes(outputs, tgt, go_q, go_t, go_valid, num_boxes, _cfg):
+    """L1 + GIoU on the go-union pairs (reference dfine_criterion.py:124-143)."""
+    src = _gather_bk(outputs["pred_boxes"].astype(jnp.float32), go_q)
+    dst = _gather_bk(tgt["boxes"].astype(jnp.float32), go_t)
+    m = go_valid.astype(jnp.float32)
+    l1 = (jnp.abs(src - dst).sum(-1) * m).sum() / num_boxes
+    giou = 1.0 - generalized_box_iou_aligned(box_cxcywh_to_xyxy(src), box_cxcywh_to_xyxy(dst))
+    return {"loss_bbox": l1, "loss_giou": (giou * m).sum() / num_boxes}
+
+
+def fgl_targets(outputs, tgt, go_q, go_t, cfg: CriterionConfig):
+    """FGL bin targets from the (layer-invariant) initial reference points —
+    the reference's per-batch cache (dfine_criterion.py:62-66, 155-173)."""
+    ref = jax.lax.stop_gradient(_gather_bk(outputs["ref_points"].astype(jnp.float32), go_q))
+    dst = box_cxcywh_to_xyxy(_gather_bk(tgt["boxes"].astype(jnp.float32), go_t))
+    b, k = go_q.shape
+    t_bins, w_r, w_l = bbox2distance(
+        ref.reshape(-1, 4), dst.reshape(-1, 4), cfg.reg_max, cfg.reg_scale, cfg.up
+    )
+    return t_bins.reshape(b, k, 4), w_r.reshape(b, k, 4), w_l.reshape(b, k, 4)
+
+
+def loss_fgl(outputs, tgt, go_q, go_t, go_valid, num_boxes, cfg: CriterionConfig, cache):
+    """Unimodal distribution focal loss over corner bins, IoU-weighted
+    (reference dfine_criterion.py:145-192, 638-659)."""
+    t_bins, w_r, w_l = cache
+    corners = _gather_bk(outputs["pred_corners"].astype(jnp.float32), go_q)
+    b, k = go_q.shape
+    corners = corners.reshape(b, k, 4, cfg.reg_max + 1)
+    logp = jax.nn.log_softmax(corners, axis=-1)
+    left = t_bins.astype(jnp.int32)
+    right = left + 1
+    ce_l = -jnp.take_along_axis(logp, left[..., None], axis=-1)[..., 0]
+    ce_r = -jnp.take_along_axis(logp, jnp.clip(right, 0, cfg.reg_max)[..., None], axis=-1)[..., 0]
+    loss = ce_l * w_l + ce_r * w_r  # [B,K,4]
+    iou = jax.lax.stop_gradient(_pair_iou(outputs["pred_boxes"], go_q, tgt["boxes"], go_t))
+    loss = loss * iou[..., None] * go_valid[..., None].astype(jnp.float32)
+    return {"loss_fgl": loss.sum() / num_boxes}
+
+
+def loss_ddf(
+    outputs,
+    teacher_corners,
+    teacher_logits,
+    tgt,
+    go_q,
+    go_t,
+    go_valid,
+    num_pos,
+    num_neg,
+    cfg: CriterionConfig,
+):
+    """Decoupled distillation focal loss: KL of corner distributions from the
+    final layer into an earlier layer (reference dfine_criterion.py:194-236)."""
+    T = cfg.ddf_temperature
+    b, q = outputs["pred_logits"].shape[:2]
+    pred = outputs["pred_corners"].astype(jnp.float32).reshape(b, q, 4, cfg.reg_max + 1)
+    teach = jax.lax.stop_gradient(
+        teacher_corners.astype(jnp.float32).reshape(b, q, 4, cfg.reg_max + 1)
+    )
+
+    # per-query weight: max teacher class prob; matched positions get pair IoU
+    w = jnp.max(jax.nn.sigmoid(teacher_logits.astype(jnp.float32)), axis=-1)  # [B,Q]
+    iou = _pair_iou(outputs["pred_boxes"], go_q, tgt["boxes"], go_t)
+    b_ar = jnp.arange(b)[:, None]
+    safe_q = jnp.where(go_valid, go_q, q)
+    w = w.at[b_ar, safe_q].set(jnp.where(go_valid, iou, 0.0), mode="drop")
+    w = jax.lax.stop_gradient(w)
+    mask = jnp.zeros((b, q), bool).at[b_ar, safe_q].set(go_valid, mode="drop")
+
+    p_log = jax.nn.log_softmax(pred / T, axis=-1)
+    t_prob = jax.nn.softmax(teach / T, axis=-1)
+    t_log = jnp.log(jnp.clip(t_prob, 1e-12, None))
+    kl = (t_prob * (t_log - p_log)).sum(-1)  # [B,Q,4]
+    loss = w[..., None] * (T**2) * kl
+
+    m4 = mask[..., None].astype(jnp.float32)
+    pos_cnt = jnp.maximum(m4.sum(), 1.0)
+    neg_cnt = jnp.maximum((1.0 - m4).sum(), 1.0)
+    loss_pos = (loss * m4).sum() / pos_cnt
+    loss_neg = (loss * (1.0 - m4)).sum() / neg_cnt
+    return {"loss_ddf": (loss_pos * num_pos + loss_neg * num_neg) / (num_pos + num_neg)}
+
+
+def loss_masks(outputs, tgt, match_q, pair_valid, cfg: CriterionConfig, tgt_idx=None):
+    """Adaptive-alpha focal BCE + Dice on matched instances
+    (reference dfine_criterion.py:239-357)."""
+    if "pred_masks" not in outputs or "masks" not in tgt:
+        return {}
+    pred = _gather_bk(outputs["pred_masks"].astype(jnp.float32), match_q)  # [B,K,Hm,Wm]
+    gt = tgt["masks"].astype(jnp.float32)
+    if tgt_idx is not None:
+        gt = _gather_bk(gt, tgt_idx)
+    hm, wm = pred.shape[2:]
+    if gt.shape[2:] != (hm, wm):
+        gt = jax.image.resize(gt, gt.shape[:2] + (hm, wm), "nearest")
+    gt = jnp.clip(gt, 0.0, 1.0)
+
+    mv = tgt.get("mask_valid", tgt["valid"])
+    if tgt_idx is not None:
+        mv = _gather_bk(mv[..., None], tgt_idx)[..., 0]
+    m = (pair_valid & mv).astype(jnp.float32)  # [B,K]
+    n_inst = jnp.maximum(m.sum(), 1.0)
+
+    # adaptive-alpha focal BCE, per-instance pixel mean
+    fg_ratio = gt.mean(axis=(2, 3), keepdims=True)
+    alpha = 0.5 + 0.25 * jnp.clip(1.0 - 2.0 * fg_ratio, -1.0, 1.0)
+    p = jax.nn.sigmoid(pred)
+    bce = _bce_with_logits(pred, gt)
+    p_t = p * gt + (1 - p) * (1 - gt)
+    alpha_t = alpha * gt + (1 - alpha) * (1 - gt)
+    focal = alpha_t * ((1 - p_t) ** 2.0) * bce
+    per_inst = focal.mean(axis=(2, 3))
+    loss_bce = (per_inst * m).sum() / n_inst
+
+    pf = p.reshape(p.shape[:2] + (-1,))
+    gf = gt.reshape(gt.shape[:2] + (-1,))
+    inter = (pf * gf).sum(-1)
+    denom = pf.sum(-1) + gf.sum(-1) + 1e-6
+    dice = 1.0 - (2.0 * inter + 1e-6) / denom
+    loss_dice = (dice * m).sum() / n_inst
+    return {"loss_mask_bce": loss_bce, "loss_mask_dice": loss_dice}
+
+
+# ------------------------------------------------------------ orchestrator --
+
+
+def _weighted(d: Dict[str, jnp.ndarray], wd: Dict[str, float], suffix: str = ""):
+    return {k + suffix: v * wd[k] for k, v in d.items() if k in wd}
+
+
+def criterion_forward(
+    outputs: Dict[str, Any],
+    targets: Dict[str, jnp.ndarray],
+    cfg: CriterionConfig,
+    axis_name: Optional[str] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Full loss orchestration (reference dfine_criterion.py:410-578).
+
+    targets: labels [B,G] int32, boxes [B,G,4] cxcywh, valid [B,G] bool,
+    optional masks [B,G,h,w] + mask_valid [B,G].
+    Returns dict of weighted losses + "total"; every value nan_to_num'ed.
+    """
+
+    def allreduce(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    world = jax.lax.psum(1, axis_name) if axis_name is not None else 1
+
+    valid = targets["valid"]
+    b, g = valid.shape
+
+    # ---- matcher: one callback for all output sets
+    sets = [outputs] + list(outputs.get("aux_outputs", [])) + [outputs["pre_outputs"]]
+    enc_sets = list(outputs.get("enc_aux_outputs", []))
+    enc_agnostic = outputs.get("enc_meta", {}).get("class_agnostic", False)
+    enc_labels = jnp.zeros_like(targets["labels"]) if enc_agnostic else targets["labels"]
+
+    costs = [
+        matching_cost(s["pred_logits"], s["pred_boxes"], targets["labels"],
+                      targets["boxes"], valid, cfg.matcher)
+        for s in sets
+    ] + [
+        matching_cost(s["pred_logits"], s["pred_boxes"], enc_labels,
+                      targets["boxes"], valid, cfg.matcher)
+        for s in enc_sets
+    ]
+    match, go_q, go_t, go_valid = solve_matchings(jnp.stack(costs), valid)
+    n_aux = len(outputs.get("aux_outputs", []))
+    m_final = match[0]
+    m_aux = [match[1 + i] for i in range(n_aux)]
+    m_pre = match[1 + n_aux]
+    m_enc = [match[2 + n_aux + i] for i in range(len(enc_sets))]
+
+    # ---- normalizers
+    num_boxes = jnp.maximum(allreduce(valid.sum().astype(jnp.float32)) / world, 1.0)
+    num_boxes_go = jnp.maximum(allreduce(go_valid.sum().astype(jnp.float32)) / world, 1.0)
+
+    # DDF pos/neg weights: batch-size invariant (reference :224-230)
+    q = outputs["pred_logits"].shape[1]
+    scale = 8.0 / b
+    mask_cnt = go_valid.sum().astype(jnp.float32) * 4.0
+    num_pos = jnp.sqrt(jnp.maximum(mask_cnt * scale, 1e-12))
+    num_neg = jnp.sqrt(jnp.maximum((b * q * 4.0 - mask_cnt) * scale, 1e-12))
+
+    losses: Dict[str, jnp.ndarray] = {}
+    wd = cfg.weight_dict
+    use = set(cfg.losses)
+    teacher_c = outputs["pred_corners"]
+    teacher_l = outputs["pred_logits"]
+
+    fgl_cache = fgl_targets(outputs, targets, go_q, go_t, cfg) if "local" in use else None
+
+    def branch_losses(out_set, m_set, suffix, with_local: bool, with_ddf: bool, with_masks: bool):
+        d = {}
+        if "vfl" in use:
+            d.update(loss_vfl(out_set, targets, m_set, valid, num_boxes, cfg))
+        if "focal" in use:
+            d.update(loss_focal(out_set, targets, m_set, valid, num_boxes, cfg))
+        if "boxes" in use:
+            d.update(loss_boxes(out_set, targets, go_q, go_t, go_valid, num_boxes_go, cfg))
+        if "local" in use and with_local and "pred_corners" in out_set:
+            d.update(loss_fgl(out_set, targets, go_q, go_t, go_valid, num_boxes_go, cfg, fgl_cache))
+            if with_ddf:
+                d.update(
+                    loss_ddf(out_set, teacher_c, teacher_l, targets, go_q, go_t, go_valid,
+                             num_pos, num_neg, cfg)
+                )
+        if "masks" in use and with_masks:
+            d.update(loss_masks(out_set, targets, m_set, valid, cfg))
+        losses.update(_weighted(d, wd, suffix))
+
+    # final layer
+    branch_losses(outputs, m_final, "", with_local=True, with_ddf=False, with_masks=True)
+    # aux decoder layers
+    for i, aux in enumerate(outputs.get("aux_outputs", [])):
+        branch_losses(aux, m_aux[i], f"_aux_{i}", with_local=True, with_ddf=True, with_masks=True)
+    # pre (first-layer traditional head)
+    pre = outputs["pre_outputs"]
+    d = {}
+    if "vfl" in use:
+        d.update(loss_vfl(pre, targets, m_pre, valid, num_boxes, cfg))
+    if "boxes" in use:
+        d.update(loss_boxes(pre, targets, go_q, go_t, go_valid, num_boxes_go, cfg))
+    losses.update(_weighted(d, wd, "_pre"))
+    # encoder aux
+    enc_targets = dict(targets)
+    enc_targets["labels"] = enc_labels
+    for i, enc in enumerate(enc_sets):
+        d = {}
+        if "vfl" in use:
+            d.update(loss_vfl(enc, enc_targets, m_enc[i], valid, num_boxes, cfg))
+        if "boxes" in use:
+            d.update(loss_boxes(enc, enc_targets, go_q, go_t, go_valid, num_boxes_go, cfg))
+        losses.update(_weighted(d, wd, f"_enc_{i}"))
+
+    # ---- DN branch: deterministic matching (reference :610-632)
+    if "dn_outputs" in outputs:
+        meta = outputs["dn_meta"]
+        n_group = meta["dn_num_group"]
+        dn_q, dn_t, dn_pair_valid = dn_match_indices(valid, n_group)
+        dn_num_boxes = num_boxes * n_group
+        dn_sets = outputs["dn_outputs"]
+        dn_teacher_c = dn_sets[-1]["pred_corners"]
+        dn_teacher_l = dn_sets[-1]["pred_logits"]
+        dn_fgl_cache = None
+        if "local" in use:
+            ref = jax.lax.stop_gradient(
+                _gather_bk(dn_sets[0]["ref_points"].astype(jnp.float32), dn_q)
+            )
+            dst = box_cxcywh_to_xyxy(_gather_bk(targets["boxes"].astype(jnp.float32), dn_t))
+            kb = dn_q.shape[1]
+            t_bins, w_r, w_l = bbox2distance(
+                ref.reshape(-1, 4), dst.reshape(-1, 4), cfg.reg_max, cfg.reg_scale, cfg.up
+            )
+            dn_fgl_cache = (
+                t_bins.reshape(b, kb, 4),
+                w_r.reshape(b, kb, 4),
+                w_l.reshape(b, kb, 4),
+            )
+
+        # when masks are on, the reference's zip truncation drops the final
+        # DN layer from dn_outputs and supervises its masks separately as
+        # "_dn_final" (dfine_decoder.py:1085-1127, dfine_criterion.py:552-560)
+        has_dn_masks = "masks" in use and "pred_masks" in dn_sets[0]
+        dn_iter = dn_sets[:-1] if has_dn_masks else dn_sets
+        for i, dn in enumerate(dn_iter):
+            d = {}
+            if "vfl" in use:
+                d.update(loss_vfl(dn, targets, dn_q, dn_pair_valid, dn_num_boxes, cfg, tgt_idx=dn_t))
+            if "boxes" in use:
+                src = _gather_bk(dn["pred_boxes"].astype(jnp.float32), dn_q)
+                dst = _gather_bk(targets["boxes"].astype(jnp.float32), dn_t)
+                mm = dn_pair_valid.astype(jnp.float32)
+                d["loss_bbox"] = (jnp.abs(src - dst).sum(-1) * mm).sum() / dn_num_boxes
+                giou = 1.0 - generalized_box_iou_aligned(
+                    box_cxcywh_to_xyxy(src), box_cxcywh_to_xyxy(dst)
+                )
+                d["loss_giou"] = (giou * mm).sum() / dn_num_boxes
+            if "local" in use and "pred_corners" in dn:
+                d.update(
+                    loss_fgl(dn, targets, dn_q, dn_t, dn_pair_valid, dn_num_boxes, cfg, dn_fgl_cache)
+                )
+                d.update(
+                    loss_ddf(dn, dn_teacher_c, dn_teacher_l, targets, dn_q, dn_t,
+                             dn_pair_valid, num_pos, num_neg, cfg)
+                )
+            if has_dn_masks:
+                d.update(loss_masks(dn, targets, dn_q, dn_pair_valid, cfg, tgt_idx=dn_t))
+            losses.update(_weighted(d, wd, f"_dn_{i}"))
+
+        if has_dn_masks:
+            d = loss_masks(dn_sets[-1], targets, dn_q, dn_pair_valid, cfg, tgt_idx=dn_t)
+            losses.update(_weighted(d, wd, "_dn_final"))
+
+        if "dn_pre_outputs" in outputs:
+            d = {}
+            pre_dn = outputs["dn_pre_outputs"]
+            if "vfl" in use:
+                d.update(
+                    loss_vfl(pre_dn, targets, dn_q, dn_pair_valid, dn_num_boxes, cfg, tgt_idx=dn_t)
+                )
+            if "boxes" in use:
+                src = _gather_bk(pre_dn["pred_boxes"].astype(jnp.float32), dn_q)
+                dst = _gather_bk(targets["boxes"].astype(jnp.float32), dn_t)
+                mm = dn_pair_valid.astype(jnp.float32)
+                d["loss_bbox"] = (jnp.abs(src - dst).sum(-1) * mm).sum() / dn_num_boxes
+                giou = 1.0 - generalized_box_iou_aligned(
+                    box_cxcywh_to_xyxy(src), box_cxcywh_to_xyxy(dst)
+                )
+                d["loss_giou"] = (giou * mm).sum() / dn_num_boxes
+            losses.update(_weighted(d, wd, "_dn_pre"))
+
+    losses = {k: jnp.nan_to_num(v, nan=0.0) for k, v in losses.items()}
+    losses["total"] = sum(losses.values())
+    return losses
