@@ -1,0 +1,100 @@
+"""Export — XLA artifacts replace ONNX/OpenVINO/TensorRT.
+
+The reference's export app (src/dl/export.py:31-181) produces .onnx/.xml/
+.engine files; the TPU-native export formats are:
+* ``aot``      — compile check of the fixed-shape executable (the "engine
+                 build": what AOTModel constructs at load)
+* ``stablehlo``— ``jax.export`` serialized artifact (weights baked in), the
+                 portable file-format analog of .onnx, loaded by
+                 ExportedModel
+* ``npz``      — flat weights for (re)loading into any backend
+
+``half`` selects bf16 compute; ``deploy`` applies conv+BN / RepVGG fusion
+(the reference defines deploy fusion but never calls it in export main —
+we default it ON since it is numerically identical).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .postprocess import topk_decode
+
+
+def make_exported(model, variables, input_size: Tuple[int, int], num_top: int = 300,
+                  batch: int = 1):
+    from jax import export as jexport
+
+    def infer(images):
+        out = model.apply(variables, images, train=False)
+        return topk_decode(out["pred_logits"], out["pred_boxes"], num_top,
+                           masks=out.get("pred_masks"))
+
+    shape = jax.ShapeDtypeStruct((batch, *input_size, 3), jnp.float32)
+    return jexport.export(jax.jit(infer))(shape)
+
+
+def export_model(
+    model_name: str,
+    variables: Dict,
+    num_classes: int,
+    out_dir: Path,
+    input_size: Tuple[int, int] = (640, 640),
+    half: bool = True,
+    max_batch_size: int = 1,
+    enable_mask_head: bool = False,
+    formats=("aot", "stablehlo", "npz"),
+    deploy: bool = True,
+) -> Dict[str, Path]:
+    from .models import build_model
+    from .utils.checkpoint import save_params_npz
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if deploy:
+        from .infer.fuse import convert_to_deploy
+
+        variables = convert_to_deploy(variables)
+    model = build_model(
+        model_name, num_classes, enable_mask_head,
+        dtype=jnp.bfloat16 if half else jnp.float32,
+    )
+    artifacts: Dict[str, Path] = {}
+
+    if "npz" in formats:
+        p = out_dir / f"dfine_{model_name}.npz"
+        save_params_npz(p, variables)
+        artifacts["npz"] = p
+
+    if "stablehlo" in formats:
+        exported = make_exported(model, variables, input_size, batch=max_batch_size)
+        blob = exported.serialize()
+        p = out_dir / f"dfine_{model_name}.stablehlo"
+        p.write_bytes(blob)
+        artifacts["stablehlo"] = p
+
+    if "aot" in formats:
+
+        def infer(v, images):
+            out = model.apply(v, images, train=False)
+            return topk_decode(out["pred_logits"], out["pred_boxes"], 300,
+                               masks=out.get("pred_masks"))
+
+        shape = jax.ShapeDtypeStruct((max_batch_size, *input_size, 3), jnp.float32)
+        var_shapes = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), variables)
+        compiled = jax.jit(infer).lower(var_shapes, shape).compile()
+        # record compile stats as the artifact manifest
+        p = out_dir / f"dfine_{model_name}.aot.txt"
+        mem = compiled.memory_analysis()
+        p.write_text(
+            f"input: {shape.shape} {shape.dtype}\n"
+            f"flops: {compiled.cost_analysis().get('flops', 'n/a')}\n"
+            f"memory: {mem}\n"
+        )
+        artifacts["aot"] = p
+
+    return artifacts

@@ -1,0 +1,52 @@
+"""AOT serving backend — the TensorRT-engine analog.
+
+``jax.jit(...).lower(shapes).compile()`` at construction produces a fixed
+XLA executable for the configured input shape: no retracing, no dispatch
+cache lookup surprises, stable latency — the role TensorRT's prebuilt engine
+plays for the reference (src/infer/trt_model.py, trt_alr.py).  Weights are
+device-resident and donated into the executable's arena once.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..postprocess import topk_decode
+from .base import BaseServing
+
+
+class AOTModel(BaseServing):
+    def __init__(self, *args, max_batch_size: int = 1, **kwargs):
+        self.max_batch_size = max_batch_size
+        super().__init__(*args, **kwargs)
+
+    def _build(self) -> None:
+        model = self.model
+        k = self.num_top_queries
+
+        def infer(variables, images):
+            out = model.apply(variables, images, train=False)
+            return topk_decode(
+                out["pred_logits"], out["pred_boxes"], k, masks=out.get("pred_masks")
+            )
+
+        self.variables = jax.device_put(self.variables)
+        shape = jax.ShapeDtypeStruct(
+            (self.max_batch_size, *self.input_size, 3), jnp.float32
+        )
+        var_shapes = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.variables
+        )
+        self._exec = jax.jit(infer).lower(var_shapes, shape).compile()
+
+    def _predict(self, images: np.ndarray) -> Dict[str, np.ndarray]:
+        b = images.shape[0]
+        if b < self.max_batch_size:  # fixed executable shape: pad the batch
+            pad = np.tile(images[-1:], (self.max_batch_size - b, 1, 1, 1))
+            images = np.concatenate([images, pad], 0)
+        decoded = self._exec(self.variables, jnp.asarray(images))
+        return jax.tree.map(lambda x: np.asarray(x)[:b], decoded)

@@ -1,0 +1,203 @@
+"""Serving base — the uniform inference contract.
+
+Every backend exposes ``__call__(BGR ndarray | list) -> List[{"labels",
+"boxes", "scores"[, "masks"]}]`` exactly like the reference's four backends
+(src/infer/torch_model.py:332-344 and friends), including:
+* preprocess modes: plain resize | letterbox (keep_ratio) | rect (minimal
+  stride-32-aligned letterbox; faster, fewer padded pixels)
+* per-class confidence thresholds
+* ``_test_pred`` smoke check at construction (torch_model.py:78-82): a
+  random 1100x1000 image through the whole pre/predict/post pipeline so
+  shape/dtype bugs fail at load time
+* optional class-wise NMS (D-FINE is NMS-free by default)
+* ``mask2poly`` contour extraction for YOLO-seg output
+
+Backends differ only in how the jitted graph is built/executed:
+JAXModel (jit), AOTModel (ahead-of-time compiled executable), ExportedModel
+(StableHLO artifact round-trip) — the TPU equivalents of the reference's
+Torch / TensorRT / ONNX-OpenVINO engines.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Union
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+
+from ..models import build_model
+from ..postprocess import postprocess_predictions
+
+
+class BaseServing:
+    def __init__(
+        self,
+        model_name: str,
+        model_path: Optional[str],
+        n_outputs: int,
+        input_width: int = 640,
+        input_height: int = 640,
+        conf_thresh: Union[float, List[float]] = 0.5,
+        rect: bool = False,
+        half: bool = True,  # bf16 compute
+        keep_ratio: bool = False,
+        use_nms: bool = False,
+        nms_iou_thresh: float = 0.5,
+        enable_mask_head: bool = False,
+        num_top_queries: int = 300,
+    ):
+        self.input_size = (input_height, input_width)
+        self.model_name = model_name
+        self.n_outputs = n_outputs
+        self.rect = rect
+        self.half = half
+        self.keep_ratio = keep_ratio
+        self.use_nms = use_nms
+        self.nms_iou_thresh = nms_iou_thresh
+        self.enable_mask_head = enable_mask_head
+        self.num_top_queries = num_top_queries
+        if isinstance(conf_thresh, (list, tuple)):
+            self.per_class_conf = {i: float(c) for i, c in enumerate(conf_thresh)}
+            self.conf_thresh = float(min(conf_thresh))
+        else:
+            self.per_class_conf = None
+            self.conf_thresh = float(conf_thresh)
+
+        self.model = build_model(
+            model_name, n_outputs, enable_mask_head,
+            dtype=jnp.bfloat16 if half else jnp.float32,
+        )
+        self.variables = self._load_variables(model_path)
+        self._build()
+        self._test_pred()
+
+    # ------------------------------------------------------------ weights
+
+    def _load_variables(self, model_path: Optional[str]):
+        import jax
+
+        x = jnp.zeros((1, *self.input_size, 3), jnp.float32)
+        template = self.model.init({"params": jax.random.key(0)}, x, train=False)
+        if model_path is None:
+            return template
+        p = Path(model_path)
+        if p.suffix == ".npz":
+            from ..utils.checkpoint import load_params_npz
+
+            return jax.tree.map(jnp.asarray, load_params_npz(p))
+        if p.suffix in (".pth", ".pt"):
+            from ..utils.checkpoint import load_torch_checkpoint
+
+            return jax.tree.map(jnp.asarray, load_torch_checkpoint(p, template))
+        from ..utils.checkpoint import restore_state
+
+        state = restore_state(p, None)
+        if isinstance(state, dict) and "ema_params" in state and state["ema_params"] is not None:
+            return {"params": state["ema_params"], "batch_stats": state["ema_batch_stats"]}
+        if isinstance(state, dict) and "params" in state:
+            return {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
+        return state
+
+    # ------------------------------------------------------------- builds
+
+    def _build(self) -> None:
+        """Prepare the executable; override per backend."""
+        raise NotImplementedError
+
+    def _predict(self, images: np.ndarray) -> Dict[str, np.ndarray]:
+        """images [B,H,W,3] f32 -> decoded dict of numpy arrays."""
+        raise NotImplementedError
+
+    # --------------------------------------------------------- preprocess
+
+    def _preprocess(self, image_bgr: np.ndarray):
+        rgb = cv2.cvtColor(image_bgr, cv2.COLOR_BGR2RGB)
+        h0, w0 = rgb.shape[:2]
+        th, tw = self.input_size
+        if self.rect:
+            scale = min(th / h0, tw / w0)
+            nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+            ph = math.ceil(nh / 32) * 32
+            pw = math.ceil(nw / 32) * 32
+            out = np.full((ph, pw, 3), 114, np.uint8)
+            out[:nh, :nw] = cv2.resize(rgb, (nw, nh), interpolation=cv2.INTER_LINEAR)
+            proc = out
+        elif self.keep_ratio:
+            from ..data.augment import letterbox
+
+            proc, _, _ = letterbox(rgb, (th, tw))
+        else:
+            proc = cv2.resize(rgb, (tw, th), interpolation=cv2.INTER_LINEAR)
+        return proc.astype(np.float32) / 255.0, proc.shape[:2], (h0, w0)
+
+    def _prepare_inputs(self, images):
+        single = isinstance(images, np.ndarray) and images.ndim == 3
+        imgs = [images] if single else list(images)
+        proc, proc_sizes, orig_sizes = zip(*[self._preprocess(im) for im in imgs])
+        batch = np.stack(proc, 0)
+        return batch, list(proc_sizes), list(orig_sizes)
+
+    # -------------------------------------------------------- postprocess
+
+    def _postprocess(self, decoded, proc_sizes, orig_sizes) -> List[Dict]:
+        results = postprocess_predictions(
+            decoded,
+            proc_sizes[0],
+            orig_sizes,
+            conf_thresh=self.conf_thresh,
+            keep_ratio=self.keep_ratio or self.rect,
+            per_class_conf=self.per_class_conf,
+        )
+        if self.use_nms:
+            from ..ops.nms import batched_class_nms
+
+            for r in results:
+                if len(r["boxes"]) == 0:
+                    continue
+                keep = np.asarray(
+                    batched_class_nms(
+                        jnp.asarray(r["boxes"], jnp.float32),
+                        jnp.asarray(r["scores"], jnp.float32),
+                        jnp.asarray(r["labels"]),
+                        self.nms_iou_thresh,
+                    )
+                )
+                for k in ("labels", "boxes", "scores"):
+                    r[k] = r[k][keep]
+                if "masks" in r:
+                    r["masks"] = r["masks"][keep]
+        return results
+
+    # -------------------------------------------------------------- entry
+
+    def __call__(self, images) -> List[Dict]:
+        batch, proc_sizes, orig_sizes = self._prepare_inputs(images)
+        decoded = self._predict(batch)
+        return self._postprocess(decoded, proc_sizes, orig_sizes)
+
+    def _test_pred(self) -> None:
+        rnd = np.random.randint(0, 255, size=(1100, 1000, 3), dtype=np.uint8)
+        out = self(rnd)
+        assert isinstance(out, list) and "boxes" in out[0]
+
+    # --------------------------------------------------------------- misc
+
+    @staticmethod
+    def mask2poly(mask: np.ndarray, epsilon_frac: float = 0.005) -> List[np.ndarray]:
+        """Binary mask -> simplified polygons in absolute pixels
+        (reference torch_model.py mask2poly)."""
+        contours, _ = cv2.findContours(
+            mask.astype(np.uint8), cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
+        )
+        polys = []
+        for c in contours:
+            if len(c) < 3:
+                continue
+            eps = epsilon_frac * cv2.arcLength(c, True)
+            approx = cv2.approxPolyDP(c, eps, True).reshape(-1, 2).astype(np.float32)
+            if len(approx) >= 3:
+                polys.append(approx)
+        return polys

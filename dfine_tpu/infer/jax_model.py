@@ -1,0 +1,33 @@
+"""JIT serving backend — the reference Torch_model analog
+(src/infer/torch_model.py:14-380): trace-on-first-call per input shape,
+XLA-fused forward + NMS-free top-k decode in one program."""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..postprocess import topk_decode
+from .base import BaseServing
+
+
+class JAXModel(BaseServing):
+    def _build(self) -> None:
+        model = self.model
+        k = self.num_top_queries
+
+        @jax.jit
+        def infer(variables, images):
+            out = model.apply(variables, images, train=False)
+            return topk_decode(
+                out["pred_logits"], out["pred_boxes"], k, masks=out.get("pred_masks")
+            )
+
+        self._infer = infer
+
+    def _predict(self, images: np.ndarray) -> Dict[str, np.ndarray]:
+        decoded = self._infer(self.variables, jnp.asarray(images))
+        return jax.tree.map(np.asarray, decoded)

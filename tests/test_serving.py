@@ -1,0 +1,63 @@
+"""Serving backends: contract smoke tests (random weights, CPU)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_jax_model_contract():
+    from dfine_tpu.infer import JAXModel
+
+    m = JAXModel("n", None, n_outputs=3, input_width=320, input_height=320,
+                 conf_thresh=0.01, half=False)
+    # _test_pred already ran a 1100x1000 image at construction
+    img = np.random.randint(0, 255, (480, 640, 3), np.uint8)
+    (res,) = m(img)
+    assert set(res) >= {"labels", "boxes", "scores"}
+    if len(res["boxes"]):
+        b = res["boxes"]
+        assert (b[:, 0] <= b[:, 2]).all() and (b[:, 1] <= b[:, 3]).all()
+        assert b[:, [0, 2]].max() <= 640 + 1e-3 and b[:, [1, 3]].max() <= 480 + 1e-3
+
+
+@pytest.mark.slow
+def test_deploy_fusion_is_numerically_identical():
+    import jax
+    import jax.numpy as jnp
+
+    from dfine_tpu.infer.fuse import convert_to_deploy
+    from dfine_tpu.models import build_model
+
+    model = build_model("n", num_classes=3, enable_mask_head=False)
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(1, 320, 320, 3)).astype(np.float32))
+    variables = model.init({"params": jax.random.key(0)}, x, train=False)
+    # make BN stats non-trivial so fusion actually moves numbers around
+    variables = jax.tree.map(lambda v: v, variables)
+    out_ref = model.apply(variables, x, train=False)
+    fused = jax.tree.map(jnp.asarray, convert_to_deploy(jax.tree.map(np.asarray, variables)))
+    out_fused = model.apply(fused, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_ref["pred_boxes"]), np.asarray(out_fused["pred_boxes"]),
+        rtol=2e-3, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ref["pred_logits"]), np.asarray(out_fused["pred_logits"]),
+        rtol=2e-3, atol=2e-3,
+    )
+
+
+def test_nms():
+    import jax.numpy as jnp
+
+    from dfine_tpu.ops.nms import batched_class_nms, nms
+
+    boxes = jnp.asarray(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], jnp.float32
+    )
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    keep = np.asarray(nms(boxes, scores, 0.5))
+    assert keep.tolist() == [True, False, True]
+    # different classes -> no suppression
+    labels = jnp.asarray([0, 1, 0])
+    keep = np.asarray(batched_class_nms(boxes, scores, labels, 0.5))
+    assert keep.tolist() == [True, True, True]
