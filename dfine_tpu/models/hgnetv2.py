@@ -168,7 +168,11 @@ class EseModule(nn.Module):
 
 
 class HGBlock(nn.Module):
-    """Dense-concat HG block with ESE aggregation (reference hgnetv2.py:189-275)."""
+    """Dense-concat HG block (reference hgnetv2.py:189-275).
+
+    Aggregation: the reference's HG_Stage always uses the "se" variant
+    (squeeze 1x1 -> excitation 1x1, hgnetv2.py:230-248, 290) for every
+    published B* config; "ese" (1x1 + EseModule) is kept for completeness."""
 
     mid_ch: int
     out_ch: int
@@ -177,6 +181,7 @@ class HGBlock(nn.Module):
     residual: bool = False
     light_block: bool = False
     use_lab: bool = False
+    agg: str = "se"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -199,10 +204,21 @@ class HGBlock(nn.Module):
                 )(x, train)
             outs.append(x)
         x = jnp.concatenate(outs, axis=-1)
-        x = ConvBN(self.out_ch, 1, 1, use_lab=self.use_lab, dtype=self.dtype, name="agg_conv")(
-            x, train
-        )
-        x = EseModule(self.out_ch, dtype=self.dtype, name="agg_ese")(x)
+        if self.agg == "se":
+            x = ConvBN(
+                self.out_ch // 2, 1, 1, use_lab=self.use_lab, dtype=self.dtype,
+                name="aggregation_0",
+            )(x, train)
+            x = ConvBN(
+                self.out_ch, 1, 1, use_lab=self.use_lab, dtype=self.dtype,
+                name="aggregation_1",
+            )(x, train)
+        else:
+            x = ConvBN(
+                self.out_ch, 1, 1, use_lab=self.use_lab, dtype=self.dtype,
+                name="aggregation_0",
+            )(x, train)
+            x = EseModule(self.out_ch, dtype=self.dtype, name="aggregation_1")(x)
         if self.residual:
             x = x + identity
         return x

@@ -70,64 +70,117 @@ def _torch_state_dict(path: Path) -> Dict[str, np.ndarray]:
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in obj.items()}
 
 
+# non-parameter buffers the JAX model materializes as compile-time constants
+_SKIP_SUFFIXES = (
+    "num_batches_tracked", "anchors", "valid_mask", "num_points_scale",
+    "project",  # Integral projection = weighting_function constant
+)
+_SKIP_EXACT = {
+    "decoder.up", "decoder.reg_scale", "decoder.decoder.up", "decoder.decoder.reg_scale",
+}
+
+# module-path rewrites: (transformed torch path fragment) -> (our flax path)
+_REWRITES = [
+    (re.compile(r"decoder\.decoder\.layers_(\d+)"), r"decoder.decoder_layers_\1"),
+    (re.compile(r"decoder\.decoder\.lqe_layers_(\d+)"), r"decoder.lqe_layers_\1"),
+    (re.compile(r"decoder\.decoder\.pre_bbox_head\."), "decoder.pre_bbox_head."),
+    (re.compile(r"(encoder\.encoder_\d+)\.layers_(\d+)"), r"\1_layers_\2"),
+    (re.compile(r"enc_output\.proj"), "enc_output_proj"),
+    (re.compile(r"enc_output\.norm"), "enc_output_norm"),
+    (re.compile(r"\.cv2_0\."), ".cv2_csp."),
+    (re.compile(r"\.cv2_1\."), ".cv2_conv."),
+    (re.compile(r"\.cv3_0\."), ".cv3_csp."),
+    (re.compile(r"\.cv3_1\."), ".cv3_conv."),
+    (re.compile(r"downsample_convs_(\d+)_0\."), r"downsample_convs_\1."),
+    (re.compile(r"input_proj_(\d+)_0\."), r"input_proj_\1.conv."),
+    (re.compile(r"input_proj_(\d+)_1\."), r"input_proj_\1.norm."),
+    (re.compile(r"pixel_decoder\.lateral_(\d+)"), r"pixel_decoder.lateral_\1"),
+]
+
+
+def torch_key_to_flax(key: str, shape) -> Optional[Tuple[str, Optional[str]]]:
+    """Translate a reference state_dict key to (our flat key, transform).
+
+    transform: None | 'conv' (OIHW->HWIO) | 'linear' (transpose 2D).
+    Returns None for buffers we re-derive at trace time."""
+    if any(key.endswith(s) for s in _SKIP_SUFFIXES) or key in _SKIP_EXACT:
+        return None
+    k = re.sub(r"\.(\d+)", r"_\1", key)  # torch list index -> flax name suffix
+    for pat, rep in _REWRITES:
+        k = pat.sub(rep, k)
+
+    if k.endswith(".running_mean"):
+        return "batch_stats/" + k[: -len(".running_mean")].replace(".", "/") + "/mean", None
+    if k.endswith(".running_var"):
+        return "batch_stats/" + k[: -len(".running_var")].replace(".", "/") + "/var", None
+    if k.endswith(".in_proj_weight"):
+        return "params/" + k[: -len(".in_proj_weight")].replace(".", "/") + "/in_proj/kernel", "linear"
+    if k.endswith(".in_proj_bias"):
+        return "params/" + k[: -len(".in_proj_bias")].replace(".", "/") + "/in_proj/bias", None
+    if k.endswith("denoising_class_embed.weight"):
+        return "params/" + k[: -len(".weight")].replace(".", "/") + "/embedding", None
+    if k.endswith(".weight"):
+        stem = "params/" + k[: -len(".weight")].replace(".", "/")
+        if len(shape) == 1:
+            return stem + "/scale", None  # BN / LayerNorm weight
+        if len(shape) == 4:
+            return stem + "/kernel", "conv"
+        return stem + "/kernel", "linear"
+    return "params/" + k.replace(".", "/"), None
+
+
 def load_torch_checkpoint(
-    path: Path,
+    path_or_sd,
     variables_template: Dict,
     num_classes: Optional[int] = None,
     verbose: bool = True,
+    strict: bool = False,
 ) -> Dict:
-    """Best-effort shape-matched import of a reference .pth into our
-    variables pytree (mirrors the shape-filter semantics of reference
-    d_fine/utils.py:156-181: matching keys with matching shapes load,
-    the rest keep their init values and are reported)."""
+    """Import a reference .pth (or an in-memory state dict) into our
+    variables pytree.  Mirrors the reference's shape-filtered partial load
+    with missed/unmatched reporting (reference d_fine/utils.py:156-181):
+    keys that translate and shape-match load; the rest keep init values."""
     from flax import traverse_util
 
-    sd = _torch_state_dict(Path(path))
+    sd = (
+        _torch_state_dict(Path(path_or_sd))
+        if isinstance(path_or_sd, (str, Path))
+        else {k: np.asarray(v) for k, v in path_or_sd.items()}
+    )
     flat = traverse_util.flatten_dict(variables_template, sep="/")
     out = dict(flat)
-    matched, missed = [], []
-    by_norm: Dict[str, str] = {}
-    for k in flat:
-        by_norm[_normalize_key(k)] = k
+    missed, shape_missed = [], []
+    n_loaded = 0
     for tk, tv in sd.items():
-        nk = _normalize_key(tk)
-        ours = by_norm.get(nk)
-        if ours is None:
-            missed.append(tk)
+        tv = np.asarray(tv)
+        trans = torch_key_to_flax(tk, tv.shape)
+        if trans is None:
             continue
-        v = _convert_tensor(tv, np.asarray(flat[ours]).shape)
-        if v is None:
-            missed.append(tk)
+        ours, tf = trans
+        if ours not in flat:
+            missed.append((tk, ours))
             continue
-        out[ours] = v
-        matched.append(tk)
+        v = tv
+        if tf == "conv":
+            v = tv.transpose(2, 3, 1, 0)
+        elif tf == "linear":
+            v = tv.T
+        target = np.asarray(flat[ours])
+        if v.shape != target.shape:
+            shape_missed.append((tk, v.shape, target.shape))
+            continue
+        out[ours] = v.astype(target.dtype)
+        n_loaded += 1
     if verbose:
-        print(f"torch import: matched {len(matched)} / {len(sd)} tensors; "
-              f"{len(missed)} unmatched")
+        print(
+            f"torch import: loaded {n_loaded}/{len(sd)} tensors; "
+            f"{len(missed)} unmatched keys, {len(shape_missed)} shape mismatches"
+        )
+        for tk, ours in missed[:10]:
+            print(f"  unmatched: {tk} -> {ours}")
+        for tk, s1, s2 in shape_missed[:10]:
+            print(f"  shape: {tk} {s1} vs {s2}")
+    if strict and (missed or shape_missed):
+        raise ValueError(f"strict import failed: {len(missed)} unmatched, "
+                         f"{len(shape_missed)} shape mismatches")
     return traverse_util.unflatten_dict(out, sep="/")
-
-
-def _normalize_key(k: str) -> str:
-    k = k.replace("/", ".").lower()
-    k = re.sub(r"\.(weight|kernel)$", ".w", k)
-    k = re.sub(r"\.(bias)$", ".b", k)
-    k = re.sub(r"\.(running_mean|mean)$", ".rm", k)
-    k = re.sub(r"\.(running_var|var)$", ".rv", k)
-    k = re.sub(r"\.(scale)$", ".w", k)
-    k = k.replace("batch_stats.", "").replace("params.", "")
-    return k
-
-
-def _convert_tensor(v: np.ndarray, target_shape) -> Optional[np.ndarray]:
-    v = np.asarray(v)
-    if tuple(v.shape) == tuple(target_shape):
-        return v
-    # torch conv OIHW -> flax HWIO
-    if v.ndim == 4 and tuple(v.transpose(2, 3, 1, 0).shape) == tuple(target_shape):
-        return v.transpose(2, 3, 1, 0)
-    # torch linear [out, in] -> flax [in, out]
-    if v.ndim == 2 and tuple(v.T.shape) == tuple(target_shape):
-        return v.T
-    if v.size == int(np.prod(target_shape)):
-        return v.reshape(target_shape)
-    return None
