@@ -57,13 +57,16 @@ def main(argv=None):
     tr.load_checkpoint("best")
     base = tr.evaluate("val")["f1"]
 
-    variables = tr._current_eval_variables()
-    quant = quantize_weights_int8(variables)
     import jax
+    import jax.numpy as jnp
 
+    variables = tr._current_eval_variables()
+    quant = quantize_weights_int8(jax.tree.map(lambda x: x, variables))
+    qp = jax.tree.map(jnp.asarray, quant["params"])
     tr.state = tr.state.replace(
-        ema_params=jax.tree.map(jnp_asarray, quant["params"]) if tr.use_ema else tr.state.ema_params,
-        params=jax.tree.map(jnp_asarray, quant["params"]),
+        params=qp,
+        ema_params=qp if tr.use_ema else None,
+        ema_batch_stats=tr.state.batch_stats if tr.use_ema else None,
     )
     f1_q = tr.evaluate("val")["f1"]
     drop = base - f1_q
@@ -75,12 +78,6 @@ def main(argv=None):
 
         save_params_npz(exp_dir / "export_int8.npz", quant)
         print(f"saved {exp_dir / 'export_int8.npz'}")
-
-
-def jnp_asarray(x):
-    import jax.numpy as jnp
-
-    return jnp.asarray(x)
 
 
 if __name__ == "__main__":

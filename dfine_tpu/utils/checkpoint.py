@@ -70,6 +70,57 @@ def _torch_state_dict(path: Path) -> Dict[str, np.ndarray]:
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in obj.items()}
 
 
+# COCO class index -> Objects365 class index (dataset metadata; the head-row
+# correspondence table the reference uses to transfer Obj365-pretrained class
+# heads onto COCO-indexed heads and back, reference d_fine/utils.py:8-90)
+OBJ365_IDS = [
+    0, 46, 5, 58, 114, 55, 116, 65, 21, 40, 176, 127, 249, 24, 56, 139, 92,
+    78, 99, 96, 144, 295, 178, 180, 38, 39, 13, 43, 120, 219, 148, 173, 165,
+    154, 137, 113, 145, 146, 204, 8, 35, 10, 88, 84, 93, 26, 112, 82, 265,
+    104, 141, 152, 234, 143, 150, 97, 2, 50, 25, 75, 98, 153, 37, 73, 115,
+    132, 106, 61, 163, 134, 277, 81, 133, 18, 94, 30, 169, 70, 328, 226,
+]
+
+
+def map_class_rows(cur: np.ndarray, pretrain: np.ndarray) -> np.ndarray:
+    """Remap class-head rows between COCO and Objects365 indexing
+    (reference d_fine/utils.py:92-107)."""
+    if pretrain.shape == cur.shape:
+        return pretrain
+    out = cur.copy()
+    if pretrain.shape[0] > cur.shape[0]:  # obj365 -> coco
+        for coco_id, obj_id in enumerate(OBJ365_IDS):
+            if coco_id < cur.shape[0]:
+                out[coco_id] = pretrain[obj_id + 1]
+    else:  # coco -> obj365
+        for coco_id, obj_id in enumerate(OBJ365_IDS):
+            if coco_id < pretrain.shape[0]:
+                out[obj_id + 1] = pretrain[coco_id]
+    return out
+
+
+def adjust_head_parameters(sd: Dict[str, np.ndarray], current: Dict[str, np.ndarray]) -> Dict:
+    """Cross-dataset class-head adaptation (reference d_fine/utils.py:110-138):
+    score-head weights/biases are row-remapped via the COCO<->Obj365 table
+    (unmapped rows keep the current model's init values); a size-mismatched
+    denoising embedding is dropped.
+
+    current: torch-style key -> current model tensor in TORCH layout.
+    """
+    sd = dict(sd)
+    key = "decoder.denoising_class_embed.weight"
+    if key in sd and key in current and tuple(sd[key].shape) != tuple(current[key].shape):
+        del sd[key]
+    head_names = ["decoder.enc_score_head.weight", "decoder.enc_score_head.bias"]
+    for i in range(8):
+        head_names += [f"decoder.dec_score_head.{i}.weight",
+                       f"decoder.dec_score_head.{i}.bias"]
+    for name in head_names:
+        if name in sd and name in current:
+            sd[name] = map_class_rows(np.asarray(current[name]), np.asarray(sd[name]))
+    return sd
+
+
 # non-parameter buffers the JAX model materializes as compile-time constants
 _SKIP_SUFFIXES = (
     "num_batches_tracked", "anchors", "valid_mask", "num_points_scale",
@@ -148,6 +199,25 @@ def load_torch_checkpoint(
         else {k: np.asarray(v) for k, v in path_or_sd.items()}
     )
     flat = traverse_util.flatten_dict(variables_template, sep="/")
+
+    # cross-dataset class-head adaptation: expose our current head tensors in
+    # torch layout so row remapping matches the reference exactly
+    head_keys = ["decoder.enc_score_head.weight", "decoder.enc_score_head.bias",
+                 "decoder.denoising_class_embed.weight"]
+    head_keys += [f"decoder.dec_score_head.{i}.{leaf}" for i in range(8)
+                  for leaf in ("weight", "bias")]
+    current_heads = {}
+    for tk in head_keys:
+        if tk not in sd:
+            continue
+        trans = torch_key_to_flax(tk, sd[tk].shape)
+        if trans is None or trans[0] not in flat:
+            continue
+        ours, tf = trans
+        v = np.asarray(flat[ours])
+        current_heads[tk] = v.T if tf == "linear" else v
+    sd = adjust_head_parameters(sd, current_heads)
+
     out = dict(flat)
     missed, shape_missed = [], []
     n_loaded = 0
