@@ -49,6 +49,7 @@ class DatasetConfig:
     mosaic_augs: Dict = field(default_factory=dict)
     ignore_background_epochs: int = 0
     epochs: int = 100
+    debug_img_path: str = ""  # when set, dump augmented samples w/ geometry
 
 
 class DetectionDataset:
@@ -147,7 +148,25 @@ class DetectionDataset:
                 s = apply_letterbox_to_geoms(s, scale, pad)
             else:
                 s = plain_resize(s, self.cfg.img_size)
+        if self.cfg.debug_img_path and self._train:
+            self._dump_debug(s, idx)
         return self.finalize(s)
+
+    def _dump_debug(self, s: Sample, idx: int, limit: int = 50) -> None:
+        """Save the augmented sample with boxes/polygons drawn
+        (reference dataset.py:179-219 debug_img_processing)."""
+        out = Path(self.cfg.debug_img_path)
+        out.mkdir(parents=True, exist_ok=True)
+        if len(list(out.glob("*.jpg"))) >= limit:
+            return
+        img = cv2.cvtColor(s["image"], cv2.COLOR_RGB2BGR).copy()
+        for i, b in enumerate(np.asarray(s["boxes"]).astype(int)):
+            cv2.rectangle(img, (b[0], b[1]), (b[2], b[3]), (0, 255, 0), 2)
+            cv2.putText(img, str(int(s["labels"][i])), (b[0], max(b[1] - 3, 10)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1)
+        for poly in s.get("polygons") or []:
+            cv2.polylines(img, [np.asarray(poly, np.int32)], True, (0, 0, 255), 1)
+        cv2.imwrite(str(out / f"ep{self.epoch}_{idx}.jpg"), img)
 
     def finalize(self, s: Sample) -> Sample:
         """Absolute geometry -> normalized padded arrays."""

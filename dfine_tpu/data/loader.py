@@ -160,6 +160,9 @@ class Loader:
             mosaic_augs=dict(cfg_train.get("mosaic_augs", {})),
             ignore_background_epochs=cfg_train.get("ignore_background_epochs", 0),
             epochs=cfg_train.get("epochs", 100),
+            debug_img_path=str(cfg_train.get("debug_img_path", ""))
+            if cfg_train.get("debug_img_processing")
+            else "",
         )
 
     def dataset(self, split: str, mode: Optional[str] = None) -> DetectionDataset:

@@ -224,16 +224,32 @@ class Trainer:
     # -------------------------------------------------------------- train --
 
     def train(self) -> Dict:
+        """Run the loop; on failure/interrupt still re-evaluate the best
+        checkpoint (reference train.py:645-654)."""
+        try:
+            self._train_epochs()
+        except KeyboardInterrupt:
+            self.logger.warning("interrupted — evaluating best checkpoint")
+        except Exception as e:  # train crash must not lose the experiment
+            self.logger.exception(f"training failed: {e}")
+        return self._final_eval()
+
+    def _train_epochs(self) -> None:
         t = self.cfg.train
         epochs = t.epochs
         early_stop = t.early_stopping
         stale = 0
+        start_epoch = 0
+        if t.get("resume"):
+            self.load_checkpoint("last")
+            start_epoch = int(self.state.step) // max(1, len(self.train_iter))
+            self.logger.info(f"resumed from last.ckpt at epoch {start_epoch}")
         steps_per_epoch = len(self.train_iter)
         self.logger.info(
             f"training {self.cfg.model_name} ({self.num_classes} classes, task={self.task}) "
             f"for {epochs} epochs x {steps_per_epoch} steps"
         )
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             self.train_iter.set_epoch(epoch)
             t0 = time.time()
             agg: Dict[str, float] = {}
@@ -277,6 +293,7 @@ class Trainer:
                 self.logger.info(f"early stopping at epoch {epoch}")
                 break
 
+    def _final_eval(self) -> Dict:
         # final: reload best, extended eval on val + test, plots
         self.load_checkpoint("best")
         final = {"val": self.evaluate("val", extended=True, save_previews=True)}

@@ -1,0 +1,80 @@
+"""Optimizer param-grouping, schedule, EMA and freeze-mask tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dfine_tpu.train.optim import (
+    OptimConfig,
+    build_optimizer,
+    ema_momentum,
+    ema_update,
+    freeze_mask,
+    label_tree,
+    onecycle,
+    param_group_label,
+)
+
+
+def test_param_group_labels_match_reference_rules():
+    # reference dfine.py:87-124: backbone +- norm, encdec norm/bias, rest
+    assert param_group_label(("backbone", "stem", "conv", "kernel")) == "backbone"
+    assert param_group_label(("backbone", "stem", "bn", "scale")) == "backbone_norm"
+    assert param_group_label(("encoder", "fpn", "norm", "bias")) == "encdec_norm_bias"
+    assert param_group_label(("encoder", "fpn", "conv", "bias")) == "encdec_norm_bias"
+    assert param_group_label(("decoder", "head", "kernel")) == "rest"
+    assert param_group_label(("decoder", "norm1", "scale")) == "encdec_norm_bias"
+
+
+def test_onecycle_matches_torch_semantics():
+    cfg = OptimConfig(base_lr=1e-3, epochs=10, steps_per_epoch=100, pct_start=0.1)
+    s = onecycle(2e-3, cfg)
+    # initial = peak/25, peak at pct_start, final ~ initial/1e4
+    np.testing.assert_allclose(float(s(0)), 2e-3 / 25, rtol=1e-3)
+    np.testing.assert_allclose(float(s(100)), 2e-3, rtol=1e-3)
+    assert float(s(999)) < 1e-6
+
+
+def test_optimizer_applies_group_weight_decay():
+    params = {
+        "backbone": {"conv": {"kernel": jnp.ones((4, 4))}, "bn": {"scale": jnp.ones((4,))}},
+        "decoder": {"norm1": {"bias": jnp.ones((4,))}, "head": {"kernel": jnp.ones((4, 4))}},
+    }
+    labels = label_tree(params)
+    assert labels["backbone"]["conv"]["kernel"] == "backbone"
+    assert labels["backbone"]["bn"]["scale"] == "backbone_norm"
+    assert labels["decoder"]["norm1"]["bias"] == "encdec_norm_bias"
+    assert labels["decoder"]["head"]["kernel"] == "rest"
+    tx = build_optimizer(params, OptimConfig(steps_per_epoch=10, epochs=1))
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.zeros_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # zero grads: only weight-decay groups move
+    assert float(jnp.abs(updates["backbone"]["conv"]["kernel"]).sum()) > 0
+    assert float(jnp.abs(updates["backbone"]["bn"]["scale"]).sum()) == 0
+    assert float(jnp.abs(updates["decoder"]["norm1"]["bias"]).sum()) == 0
+    assert float(jnp.abs(updates["decoder"]["head"]["kernel"]).sum()) > 0
+
+
+def test_ema_warmup_schedule():
+    # reference train.py:59: m * (1 - exp(-i/2000))
+    np.testing.assert_allclose(float(ema_momentum(jnp.asarray(0), 0.9998)), 0.0)
+    np.testing.assert_allclose(
+        float(ema_momentum(jnp.asarray(2000), 0.9998)), 0.9998 * (1 - np.exp(-1)), rtol=1e-5
+    )
+    ema = {"w": jnp.zeros((3,))}
+    new = {"w": jnp.ones((3,))}
+    out = ema_update(ema, new, jnp.asarray(1))  # m ~ 0 -> ema ~ student
+    np.testing.assert_allclose(np.asarray(out["w"]), 1.0, atol=1e-3)
+
+
+def test_freeze_mask():
+    params = {
+        "backbone": {"stem": {"conv": {"kernel": jnp.ones((2,))}},
+                     "stages_0": {"bn": {"scale": jnp.ones((2,))}}},
+        "decoder": {"head": {"kernel": jnp.ones((2,))}},
+    }
+    m = freeze_mask(params, freeze_backbone_norm=True, freeze_stem=True)
+    assert m["backbone"]["stem"]["conv"]["kernel"] is False
+    assert m["backbone"]["stages_0"]["bn"]["scale"] is False
+    assert m["decoder"]["head"]["kernel"] is True
