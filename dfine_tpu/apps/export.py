@@ -39,6 +39,7 @@ def main(argv=None):
         max_batch_size=int(cfg.export.max_batch_size),
         enable_mask_head=cfg.task == "segment",
         formats=tuple(cfg.export.get("formats", ("aot", "stablehlo", "npz"))),
+        dynamic_batch=bool(cfg.export.get("dynamic_input", False)),
     )
     for fmt, path in artifacts.items():
         print(f"exported {fmt}: {path}")

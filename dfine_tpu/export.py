@@ -26,7 +26,11 @@ from .postprocess import topk_decode
 
 
 def make_exported(model, variables, input_size: Tuple[int, int], num_top: int = 300,
-                  batch: int = 1):
+                  batch: int = 1, dynamic_batch: bool = False):
+    """Serialize the inference program.  ``dynamic_batch`` exports with a
+    symbolic batch dimension (the reference's dynamic-axes ONNX option,
+    export.py:43-54); spatial dims stay static — on TPU variable resolution
+    is served by shape buckets, not dynamic shapes (SURVEY 5)."""
     from jax import export as jexport
 
     def infer(images):
@@ -34,7 +38,11 @@ def make_exported(model, variables, input_size: Tuple[int, int], num_top: int = 
         return topk_decode(out["pred_logits"], out["pred_boxes"], num_top,
                            masks=out.get("pred_masks"))
 
-    shape = jax.ShapeDtypeStruct((batch, *input_size, 3), jnp.float32)
+    if dynamic_batch:
+        (b,) = jexport.symbolic_shape("b")
+        shape = jax.ShapeDtypeStruct((b, *input_size, 3), jnp.float32)
+    else:
+        shape = jax.ShapeDtypeStruct((batch, *input_size, 3), jnp.float32)
     return jexport.export(jax.jit(infer))(shape)
 
 
@@ -49,6 +57,7 @@ def export_model(
     enable_mask_head: bool = False,
     formats=("aot", "stablehlo", "npz"),
     deploy: bool = True,
+    dynamic_batch: bool = False,
 ) -> Dict[str, Path]:
     from .models import build_model
     from .utils.checkpoint import save_params_npz
@@ -71,7 +80,8 @@ def export_model(
         artifacts["npz"] = p
 
     if "stablehlo" in formats:
-        exported = make_exported(model, variables, input_size, batch=max_batch_size)
+        exported = make_exported(model, variables, input_size, batch=max_batch_size,
+                                 dynamic_batch=dynamic_batch)
         blob = exported.serialize()
         p = out_dir / f"dfine_{model_name}.stablehlo"
         p.write_bytes(blob)

@@ -220,7 +220,7 @@ def loss_ddf(
     kl = (t_prob * (t_log - p_log)).sum(-1)  # [B,Q,4]
     loss = w[..., None] * (T**2) * kl
 
-    m4 = mask[..., None].astype(jnp.float32)
+    m4 = jnp.broadcast_to(mask[..., None], loss.shape).astype(jnp.float32)
     pos_cnt = jnp.maximum(m4.sum(), 1.0)
     neg_cnt = jnp.maximum((1.0 - m4).sum(), 1.0)
     loss_pos = (loss * m4).sum() / pos_cnt
