@@ -269,6 +269,11 @@ class Trainer:
                         f"loss={m['loss']:.3f} eta={eta:.0f}s"
                     )
             dur = time.time() - t0
+            if epoch == 0:
+                from ..utils.profiling import device_memory_stats
+
+                for s in device_memory_stats():  # VRAM-polling analog
+                    self.logger.info(f"device memory: {s}")
             metrics = self.evaluate("val")
             decision = float(
                 np.mean([metrics[k] for k in t.decision_metrics if k in metrics])
