@@ -35,18 +35,34 @@ class AOTModel(BaseServing):
             )
 
         self.variables = jax.device_put(self.variables)
-        shape = jax.ShapeDtypeStruct(
-            (self.max_batch_size, *self.input_size, 3), jnp.float32
-        )
+        self._infer_fn = infer
+        self._execs = {}
+        self._compile_for((self.max_batch_size, *self.input_size, 3))
+
+    def _compile_for(self, shape):
+        sds = jax.ShapeDtypeStruct(shape, jnp.float32)
         var_shapes = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.variables
         )
-        self._exec = jax.jit(infer).lower(var_shapes, shape).compile()
+        self._execs[shape] = jax.jit(self._infer_fn).lower(var_shapes, sds).compile()
+        return self._execs[shape]
+
+    def warmup(self, hw_buckets) -> None:
+        """Pre-compile executables for a set of (h, w) input buckets — the
+        TPU answer to variable-resolution serving (rect mode quantizes to
+        stride 32, each bucket is one fixed-shape executable;
+        SURVEY.md hard part 5)."""
+        for hw in hw_buckets:
+            shape = (self.max_batch_size, hw[0], hw[1], 3)
+            if shape not in self._execs:
+                self._compile_for(shape)
 
     def _predict(self, images: np.ndarray) -> Dict[str, np.ndarray]:
         b = images.shape[0]
         if b < self.max_batch_size:  # fixed executable shape: pad the batch
             pad = np.tile(images[-1:], (self.max_batch_size - b, 1, 1, 1))
             images = np.concatenate([images, pad], 0)
-        decoded = self._exec(self.variables, jnp.asarray(images))
+        shape = images.shape
+        exec_ = self._execs.get(shape) or self._compile_for(shape)
+        decoded = exec_(self.variables, jnp.asarray(images))
         return jax.tree.map(lambda x: np.asarray(x)[:b], decoded)
