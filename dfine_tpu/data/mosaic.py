@@ -18,18 +18,6 @@ import numpy as np
 from .augment import _apply_affine_to_geoms
 
 
-def _box_candidates(orig: np.ndarray, new: np.ndarray, wh_thr=2, ar_thr=100, area_thr=0.1):
-    w1, h1 = orig[:, 2] - orig[:, 0], orig[:, 3] - orig[:, 1]
-    w2, h2 = new[:, 2] - new[:, 0], new[:, 3] - new[:, 1]
-    ar = np.maximum(w2 / (h2 + 1e-16), h2 / (w2 + 1e-16))
-    return (
-        (w2 > wh_thr)
-        & (h2 > wh_thr)
-        & (w2 * h2 / (w1 * h1 + 1e-16) > area_thr)
-        & (ar < ar_thr)
-    )
-
-
 def random_affine(
     sample: Dict,
     rng: np.random.Generator,
@@ -65,17 +53,18 @@ def random_affine(
         sample["image"], M, (ow, oh), flags=cv2.INTER_LINEAR, borderValue=(114, 114, 114)
     )
 
-    orig_boxes = sample["boxes"].copy()
     sample = _apply_affine_to_geoms(sample, M, ow, oh, clip=True)
-    if sample.get("polygons") is None and len(orig_boxes) and len(sample["boxes"]):
-        # candidate filter on the surviving boxes (indices already filtered
-        # by _apply_affine_to_geoms's min-size test; apply area/aspect too)
-        keep = _box_candidates(
-            np.zeros_like(sample["boxes"]) + sample["boxes"], sample["boxes"]
-        )
-        # note: orig sizes unavailable post-filter; min-size test above
-        # already removed degenerates, area test is a no-op here.
-        del keep
+    # box candidates: aspect-ratio guard on the surviving boxes (size and
+    # area tests already applied by _apply_affine_to_geoms's min-size filter)
+    if len(sample["boxes"]):
+        b = sample["boxes"]
+        w2, h2 = b[:, 2] - b[:, 0], b[:, 3] - b[:, 1]
+        ar = np.maximum(w2 / (h2 + 1e-16), h2 / (w2 + 1e-16))
+        keep = ar < 100
+        sample["boxes"] = b[keep]
+        sample["labels"] = sample["labels"][keep]
+        if sample.get("polygons") is not None:
+            sample["polygons"] = [p for p, k in zip(sample["polygons"], keep) if k]
     return sample
 
 
