@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -98,6 +99,120 @@ def ms_deform_attn_core(
         hw_start += hw
         p_start += p
     return out.reshape(b, q, nhead * d)
+
+
+def _corner_tables():
+    return (
+        (0, 0, lambda fx, fy: (1 - fx) * (1 - fy), lambda fx, fy: -(1 - fy), lambda fx, fy: -(1 - fx)),
+        (0, 1, lambda fx, fy: fx * (1 - fy), lambda fx, fy: (1 - fy), lambda fx, fy: -fx),
+        (1, 0, lambda fx, fy: (1 - fx) * fy, lambda fx, fy: -fy, lambda fx, fy: (1 - fx)),
+        (1, 1, lambda fx, fy: fx * fy, lambda fx, fy: fy, lambda fx, fy: fx),
+    )
+
+
+def ms_deform_attn_core_fused(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    num_points_list: Sequence[int],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """ms_deform_attn_core with a custom VJP.
+
+    Forward is identical to the XLA version (gathers are fast).  The
+    backward replaces XLA's serialized scatter-add for the VALUE gradient
+    (~103 ms of a D-FINE-m train step, see NOTES.md) with the Pallas
+    one-hot-matmul kernel (ops/pallas/scatter_rows.py); grads w.r.t.
+    sampling locations and attention weights are closed-form re-gathers.
+    """
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    num_points_list = tuple(int(p) for p in num_points_list)
+
+    @jax.custom_vjp
+    def core(value, loc, att):
+        return ms_deform_attn_core(value, spatial_shapes, loc, att, num_points_list)
+
+    def fwd(value, loc, att):
+        return core(value, loc, att), (value, loc, att)
+
+    def bwd(res, g_out):
+        from .pallas import rows_scatter_add
+
+        value, loc, att = res
+        b, q = loc.shape[:2]
+        nhead, d = value.shape[2], value.shape[3]
+        f32 = jnp.float32
+        g = g_out.reshape(b, q, nhead, d).astype(f32)
+        att32 = att.astype(f32)
+
+        grad_loc = jnp.zeros(loc.shape, f32)
+        grad_att = jnp.zeros(att.shape, f32)
+        grad_val_parts = []
+        hw_start = 0
+        p_start = 0
+        for (h, w), p in zip(spatial_shapes, num_points_list):
+            hw = h * w
+            v = value[:, hw_start : hw_start + hw].astype(f32)  # [B,HW,H,D]
+            v_t = v.transpose(0, 2, 1, 3)  # [B,H,HW,D]
+            l = loc[:, :, :, p_start : p_start + p].astype(f32)
+            a = att32[:, :, :, p_start : p_start + p]  # [B,Q,H,P]
+
+            x = l[..., 0] * w - 0.5
+            y = l[..., 1] * h - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            fx = x - x0
+            fy = y - y0
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
+
+            ga_l = jnp.zeros(a.shape, f32)
+            gfx = jnp.zeros(a.shape, f32)
+            gfy = jnp.zeros(a.shape, f32)
+            idx_parts, contrib_parts = [], []
+            for dy, dx, w_fn, dwdx_fn, dwdy_fn in _corner_tables():
+                xi = x0i + dx
+                yi = y0i + dy
+                valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+                idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)  # [B,Q,H,P]
+                # gather V_c: [B,Q,H,P,D]
+                idx_t = idx.transpose(0, 2, 1, 3).reshape(b, nhead, q * p)
+                vc = jnp.take_along_axis(v_t, idx_t[..., None], axis=2)
+                vc = vc.reshape(b, nhead, q, p, d).transpose(0, 2, 1, 3, 4)
+                g_dot_v = jnp.einsum("bqhd,bqhpd->bqhp", g, vc)
+                m = valid.astype(f32)
+                wgt = w_fn(fx, fy) * m
+                ga_l = ga_l + wgt * g_dot_v
+                gfx = gfx + m * dwdx_fn(fx, fy) * g_dot_v
+                gfy = gfy + m * dwdy_fn(fx, fy) * g_dot_v
+                # value-grad contributions
+                coeff = (a * wgt)[..., None]  # [B,Q,H,P,1]
+                contrib = coeff * g[:, :, :, None, :]  # [B,Q,H,P,D]
+                idx_eff = jnp.where(valid, idx, -1)
+                idx_parts.append(idx_eff.transpose(0, 2, 1, 3).reshape(b * nhead, q * p))
+                contrib_parts.append(
+                    contrib.transpose(0, 2, 1, 3, 4).reshape(b * nhead, q * p, d)
+                )
+            grad_att = grad_att.at[:, :, :, p_start : p_start + p].set(ga_l)
+            gu = a * gfx * w  # d x / d u = W
+            gv_ = a * gfy * h
+            grad_loc = grad_loc.at[:, :, :, p_start : p_start + p, :].set(
+                jnp.stack([gu, gv_], -1)
+            )
+            idx_all = jnp.concatenate(idx_parts, axis=1)  # [BH, Q*P*4]
+            contrib_all = jnp.concatenate(contrib_parts, axis=1)
+            gv_level = rows_scatter_add(idx_all, contrib_all, hw, interpret=interpret)
+            gv_level = gv_level.reshape(b, nhead, hw, d).transpose(0, 2, 1, 3)
+            grad_val_parts.append(gv_level)
+            hw_start += hw
+            p_start += p
+
+        grad_value = jnp.concatenate(grad_val_parts, axis=1).astype(value.dtype)
+        return grad_value, grad_loc.astype(loc.dtype), grad_att.astype(att.dtype)
+
+    core.defvjp(fwd, bwd)
+    return core(value, sampling_locations, attention_weights)
 
 
 def grid_sample_bilinear(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
