@@ -69,7 +69,31 @@ def onecycle(peak: float, cfg: OptimConfig) -> optax.Schedule:
     )
 
 
-def build_optimizer(params: Any, cfg: OptimConfig) -> optax.GradientTransformation:
+def build_optimizer(
+    params: Any,
+    cfg: OptimConfig,
+    update_mask: Any = None,
+    flat: bool = False,
+) -> optax.GradientTransformation:
+    """Two implementations, bit-identical updates (tests/test_optim.py):
+
+    * stock optax chain (default): clip + multi_transform AdamW. Costs
+      56 ms/step for D-FINE-m on TPU (~10k tile-padded tiny leaf ops) but
+      is donation-safe.
+    * flat=True (train/flat_optim.py): one fused-vector implementation,
+      22 ms/step — but the axon TPU runtime rejects it when the train step
+      donates its state (reproducible INVALID_ARGUMENT; see NOTES.md), and
+      donation saves more than flattening does. Default OFF until the
+      runtime issue is resolved; use on standard Cloud TPU runtimes.
+    """
+    if flat:
+        from .flat_optim import flat_adamw
+
+        tx = flat_adamw(params, cfg, update_mask)
+        if cfg.b_accum_steps > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=cfg.b_accum_steps)
+        return tx
+
     if cfg.per_group_max_lr:  # l/x: backbone groups cycle around backbone_lr
         sched_backbone = onecycle(2 * cfg.backbone_lr, cfg)
     else:  # n/s/m: scalar max_lr overrides every group (torch OneCycleLR)
@@ -79,7 +103,7 @@ def build_optimizer(params: Any, cfg: OptimConfig) -> optax.GradientTransformati
     def adamw(sched, wd):
         return optax.adamw(sched, b1=cfg.betas[0], b2=cfg.betas[1], weight_decay=wd)
 
-    tx = optax.chain(
+    parts = [
         optax.clip_by_global_norm(cfg.clip_max_norm),
         optax.multi_transform(
             {
@@ -90,7 +114,18 @@ def build_optimizer(params: Any, cfg: OptimConfig) -> optax.GradientTransformati
             },
             label_tree(params),
         ),
-    )
+    ]
+    if update_mask is not None:
+        # zero UPDATES for frozen params (not just grads) so weight decay
+        # cannot leak into them — the FrozenBN/freeze_at contract
+        parts.append(
+            optax.stateless(
+                lambda updates, params=None: jax.tree.map(
+                    lambda u, m: u * jnp.asarray(m, u.dtype), updates, update_mask
+                )
+            )
+        )
+    tx = optax.chain(*parts)
     if cfg.b_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.b_accum_steps)
     return tx
@@ -127,6 +162,19 @@ def ema_update(ema_tree: Any, new_tree: Any, iteration: jnp.ndarray, base: float
         ema_tree,
         new_tree,
     )
+
+
+def ema_update_flat(ema_tree: Any, new_tree: Any, iteration: jnp.ndarray,
+                    base: float = 0.9999) -> Any:
+    """EMA as ONE fused vector lerp (ravel -> lerp -> unravel) instead of a
+    per-leaf tree_map — ~900 tiny tile-padded ops become one (see the
+    optimizer-tail measurements in NOTES.md)."""
+    from jax.flatten_util import ravel_pytree
+
+    e, unravel = ravel_pytree(ema_tree)
+    p, _ = ravel_pytree(new_tree)
+    m = ema_momentum(iteration, base)
+    return unravel(e * m + (1.0 - m) * p.astype(e.dtype))
 
 
 def count_params(params: Any) -> int:

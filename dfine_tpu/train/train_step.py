@@ -18,6 +18,8 @@ import optax
 from flax import struct
 
 from .criterion import CriterionConfig, criterion_forward
+# NOTE: the flat EMA variant ravels donated state buffers, which the axon
+# TPU runtime rejects — the tree form is donation-safe (NOTES.md)
 from .optim import ema_update
 
 

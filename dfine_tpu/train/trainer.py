@@ -120,7 +120,6 @@ class Trainer:
             per_group_max_lr=cfg.model_name in ("l", "x"),
             b_accum_steps=self.b_accum,
         )
-        self.tx = build_optimizer(variables["params"], ocfg)
         bcfg = mc["backbone"]
         mask = (
             freeze_mask(variables["params"], freeze_backbone_norm=bcfg.get("freeze_norm", False),
@@ -128,6 +127,9 @@ class Trainer:
             if (bcfg.get("freeze_norm") or bcfg.get("freeze_at", -1) >= 0)
             else None
         )
+        # the mask zeroes UPDATES inside the optimizer (not just grads) so
+        # weight decay cannot leak into frozen params
+        self.tx = build_optimizer(variables["params"], ocfg, update_mask=mask)
         self.state = TrainState.create(variables, self.tx, use_ema=self.use_ema)
 
         # ---- step functions (optionally data-parallel over the mesh)

@@ -68,6 +68,61 @@ def test_ema_warmup_schedule():
     np.testing.assert_allclose(np.asarray(out["w"]), 1.0, atol=1e-3)
 
 
+def test_flat_adamw_matches_optax_chain():
+    """The flattened optimizer (TPU-shaped, default) must be bit-equivalent
+    to the stock clip+multi_transform AdamW chain."""
+    import optax
+
+    rng = np.random.default_rng(3)
+    params = {
+        "backbone": {"conv": {"kernel": jnp.asarray(rng.normal(size=(4, 6)).astype(np.float32))},
+                     "bn": {"scale": jnp.asarray(rng.normal(size=(6,)).astype(np.float32))}},
+        "decoder": {"norm1": {"bias": jnp.asarray(rng.normal(size=(5,)).astype(np.float32))},
+                    "head": {"kernel": jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))}},
+    }
+    cfg = OptimConfig(steps_per_epoch=10, epochs=5, per_group_max_lr=True)
+    tx_ref = build_optimizer(params, cfg, flat=False)
+    tx_new = build_optimizer(params, cfg, flat=True)
+    s_ref, s_new = tx_ref.init(params), tx_new.init(params)
+    p_ref = p_new = params
+    for _ in range(6):
+        grads = jax.tree.map(
+            lambda x: jnp.asarray(rng.normal(size=x.shape).astype(np.float32)), params
+        )
+        u, s_ref = tx_ref.update(grads, s_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, u)
+        u, s_new = tx_new.update(grads, s_new, p_new)
+        p_new = optax.apply_updates(p_new, u)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_new)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_flat_adamw_respects_update_mask():
+    params = {"backbone": {"bn": {"scale": jnp.ones((4,))}},
+              "decoder": {"head": {"kernel": jnp.ones((4, 4))}}}
+    mask = {"backbone": {"bn": {"scale": False}}, "decoder": {"head": {"kernel": True}}}
+    tx = build_optimizer(params, OptimConfig(steps_per_epoch=10, epochs=1), update_mask=mask)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["backbone"]["bn"]["scale"]).sum()) == 0  # frozen: no wd either
+    assert float(jnp.abs(updates["decoder"]["head"]["kernel"]).sum()) > 0
+
+
+def test_ema_flat_matches_tree():
+    from dfine_tpu.train.optim import ema_update, ema_update_flat
+
+    rng = np.random.default_rng(4)
+    ema = {"a": jnp.asarray(rng.normal(size=(7,)).astype(np.float32)),
+           "b": {"c": jnp.asarray(rng.normal(size=(3, 2)).astype(np.float32))}}
+    new = jax.tree.map(lambda x: x + 1.0, ema)
+    it = jnp.asarray(500)
+    r1 = ema_update(ema, new, it)
+    r2 = ema_update_flat(ema, new, it)
+    for a, b in zip(jax.tree.leaves(r1), jax.tree.leaves(r2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_freeze_mask():
     params = {
         "backbone": {"stem": {"conv": {"kernel": jnp.ones((2,))}},
