@@ -52,12 +52,13 @@ def run_images(model, paths, out_dir: Path, label_to_name, segment: bool,
         cv2.imwrite(str(out_dir / "images" / p.name), vis)
         # YOLO annotations (normalized)
         if segment and "masks" in res:
+            # every contour of a multi-part instance becomes a YOLO-seg line
+            # (reference infer.py writes all polygons, not just the first)
             polys = []
             keep = []
             for i, m in enumerate(res["masks"]):
-                cand = model.mask2poly(m)
-                if cand:
-                    polys.append(cand[0] / np.asarray([w, h], np.float32))
+                for poly in model.mask2poly(m):
+                    polys.append(poly / np.asarray([w, h], np.float32))
                     keep.append(i)
             save_yolo_label_file(out_dir / "annotations" / f"{p.stem}.txt",
                                  res["labels"][keep], polygons=polys)

@@ -118,7 +118,11 @@ class DetectionDataset:
             return False  # close_mosaic in the final epochs (ref train.py:606-610)
         return rng.uniform() < prob
 
-    def __getitem__(self, idx: int) -> Sample:
+    def __getitem__(self, idx: int, img_size: Optional[Tuple[int, int]] = None) -> Sample:
+        # img_size overrides cfg.img_size for this sample only — multiscale
+        # collate passes the batch's jittered target size per call instead of
+        # mutating shared dataset state from the producer thread.
+        size = tuple(img_size) if img_size is not None else self.cfg.img_size
         rng = self._rng(idx)
         if self._train and self.epoch < self.cfg.ignore_background_epochs:
             for _ in range(32):
@@ -134,7 +138,7 @@ class DetectionDataset:
         if self._train and self._mosaic_active(rng):
             ids = [idx] + [int(rng.integers(0, len(self))) for _ in range(3)]
             parts = [self.load_raw(i) for i in ids]
-            s = build_mosaic(parts, rng, self.cfg.img_size, self.cfg.mosaic_augs)
+            s = build_mosaic(parts, rng, size, self.cfg.mosaic_augs)
             s = photometric_pipeline(s, rng, self.cfg.augs)
         else:
             if s is None:
@@ -143,11 +147,11 @@ class DetectionDataset:
                 s = geometric_pipeline(s, rng, self.cfg.augs)
                 s = photometric_pipeline(s, rng, self.cfg.augs)
             if self.cfg.keep_ratio:
-                img, scale, pad = letterbox(s["image"], self.cfg.img_size)
+                img, scale, pad = letterbox(s["image"], size)
                 s["image"] = img
                 s = apply_letterbox_to_geoms(s, scale, pad)
             else:
-                s = plain_resize(s, self.cfg.img_size)
+                s = plain_resize(s, size)
         if self.cfg.debug_img_path and self._train:
             self._dump_debug(s, idx)
         return self.finalize(s)

@@ -18,7 +18,7 @@ import concurrent.futures as cf
 import csv
 import threading
 from pathlib import Path
-from queue import Queue
+from queue import Empty, Full, Queue
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
@@ -99,6 +99,17 @@ class BatchIterator:
         q: Queue = Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_checked(item) -> bool:
+            # Bounded put that re-checks stop so an early-exiting consumer
+            # can never leave the producer blocked on a full queue forever.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except Full:
+                    continue
+            return False
+
         def producer():
             with cf.ThreadPoolExecutor(self.workers) as pool:
                 for i in range(nb):
@@ -109,15 +120,20 @@ class BatchIterator:
                         break
                     # multiscale: jitter the whole batch's target size
                     # (reference dataset.py:645-670). Sizes are quantized to
-                    # ±{32,64} so XLA sees at most 5 shapes.
+                    # ±{32,64} so XLA sees at most 5 shapes.  The size is
+                    # passed per __getitem__ call — never written to shared
+                    # dataset state from this thread.
                     if self.ds.mode == "train" and rng.uniform() < self.multiscale_prob:
                         d = int(rng.choice([-64, -32, 0, 32, 64]))
-                        self.ds.cfg.img_size = (base_hw[0] + d, base_hw[1] + d)
+                        hw = (base_hw[0] + d, base_hw[1] + d)
                     else:
-                        self.ds.cfg.img_size = tuple(base_hw)
-                    samples = list(pool.map(self.ds.__getitem__, ids))
-                    q.put(_stack(samples))
-            q.put(None)
+                        hw = tuple(base_hw)
+                    samples = list(
+                        pool.map(lambda j: self.ds.__getitem__(j, img_size=hw), ids)
+                    )
+                    if not put_checked(_stack(samples)):
+                        return
+            put_checked(None)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
@@ -129,6 +145,13 @@ class BatchIterator:
                 yield item
         finally:
             stop.set()
+            # Drain so a producer mid-put can observe stop and exit.
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except Empty:
+                    break
+            th.join(timeout=5.0)
 
 
 class Loader:

@@ -114,9 +114,16 @@ class BaseServing:
     # --------------------------------------------------------- preprocess
 
     def _preprocess(self, image_bgr: np.ndarray):
+        """Returns (float image, proc_hw, orig_hw, pad_tl).  pad_tl is the
+        actual (pad_top, pad_left) applied — (0, 0) for rect mode (image
+        anchored top-left), the centered letterbox pad for keep_ratio, None
+        for plain resize — and is threaded into postprocess so box/mask
+        un-mapping uses the true offsets (ADVICE r1: rect previously reused
+        the centered-pad assumption and shifted every output)."""
         rgb = cv2.cvtColor(image_bgr, cv2.COLOR_BGR2RGB)
         h0, w0 = rgb.shape[:2]
         th, tw = self.input_size
+        pad_tl = None
         if self.rect:
             scale = min(th / h0, tw / w0)
             nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
@@ -125,24 +132,25 @@ class BaseServing:
             out = np.full((ph, pw, 3), 114, np.uint8)
             out[:nh, :nw] = cv2.resize(rgb, (nw, nh), interpolation=cv2.INTER_LINEAR)
             proc = out
+            pad_tl = (0, 0)
         elif self.keep_ratio:
             from ..data.augment import letterbox
 
-            proc, _, _ = letterbox(rgb, (th, tw))
+            proc, _, pad_tl = letterbox(rgb, (th, tw))
         else:
             proc = cv2.resize(rgb, (tw, th), interpolation=cv2.INTER_LINEAR)
-        return proc.astype(np.float32) / 255.0, proc.shape[:2], (h0, w0)
+        return proc.astype(np.float32) / 255.0, proc.shape[:2], (h0, w0), pad_tl
 
     def _prepare_inputs(self, images):
         single = isinstance(images, np.ndarray) and images.ndim == 3
         imgs = [images] if single else list(images)
-        proc, proc_sizes, orig_sizes = zip(*[self._preprocess(im) for im in imgs])
+        proc, proc_sizes, orig_sizes, pads = zip(*[self._preprocess(im) for im in imgs])
         batch = np.stack(proc, 0)
-        return batch, list(proc_sizes), list(orig_sizes)
+        return batch, list(proc_sizes), list(orig_sizes), list(pads)
 
     # -------------------------------------------------------- postprocess
 
-    def _postprocess(self, decoded, proc_sizes, orig_sizes) -> List[Dict]:
+    def _postprocess(self, decoded, proc_sizes, orig_sizes, pads=None) -> List[Dict]:
         results = postprocess_predictions(
             decoded,
             proc_sizes[0],
@@ -150,6 +158,7 @@ class BaseServing:
             conf_thresh=self.conf_thresh,
             keep_ratio=self.keep_ratio or self.rect,
             per_class_conf=self.per_class_conf,
+            pads=pads,
         )
         if self.use_nms:
             from ..ops.nms import batched_class_nms
@@ -174,9 +183,9 @@ class BaseServing:
     # -------------------------------------------------------------- entry
 
     def __call__(self, images) -> List[Dict]:
-        batch, proc_sizes, orig_sizes = self._prepare_inputs(images)
+        batch, proc_sizes, orig_sizes, pads = self._prepare_inputs(images)
         decoded = self._predict(batch)
-        return self._postprocess(decoded, proc_sizes, orig_sizes)
+        return self._postprocess(decoded, proc_sizes, orig_sizes, pads)
 
     def _test_pred(self) -> None:
         rnd = np.random.randint(0, 255, size=(1100, 1000, 3), dtype=np.uint8)

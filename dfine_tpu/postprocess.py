@@ -67,14 +67,24 @@ def norm_cxcywh_to_abs_xyxy(boxes: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 def unletterbox_boxes(
-    boxes_xyxy: np.ndarray, proc_hw: Tuple[int, int], orig_hw: Tuple[int, int]
+    boxes_xyxy: np.ndarray,
+    proc_hw: Tuple[int, int],
+    orig_hw: Tuple[int, int],
+    pad_tl: Optional[Tuple[int, int]] = None,
 ) -> np.ndarray:
-    """Invert letterbox mapping (reference utils.py:637-655 semantics)."""
+    """Invert letterbox mapping (reference utils.py:637-655 semantics).
+
+    ``pad_tl`` is the actual (pad_top, pad_left) used at preprocess time;
+    when omitted, centered padding is assumed (the classic letterbox).  Rect
+    mode anchors the image top-left, so it must pass (0, 0)."""
     ph, pw = proc_hw
     oh, ow = orig_hw
     gain = min(ph / oh, pw / ow)
-    padw = round((pw - ow * gain) / 2 - 0.1)
-    padh = round((ph - oh * gain) / 2 - 0.1)
+    if pad_tl is None:
+        padw = round((pw - ow * gain) / 2 - 0.1)
+        padh = round((ph - oh * gain) / 2 - 0.1)
+    else:
+        padh, padw = pad_tl
     b = boxes_xyxy.copy()
     b[..., [0, 2]] -= padw
     b[..., [1, 3]] -= padh
@@ -89,12 +99,13 @@ def boxes_to_original(
     proc_hw: Tuple[int, int],
     orig_hw: Tuple[int, int],
     keep_ratio: bool,
+    pad_tl: Optional[Tuple[int, int]] = None,
 ) -> np.ndarray:
     ph, pw = proc_hw
     oh, ow = orig_hw
     xyxy = norm_cxcywh_to_abs_xyxy(boxes_norm, ph, pw)
     if keep_ratio:
-        return unletterbox_boxes(xyxy, proc_hw, orig_hw)
+        return unletterbox_boxes(xyxy, proc_hw, orig_hw, pad_tl)
     xyxy[..., [0, 2]] *= ow / pw
     xyxy[..., [1, 3]] *= oh / ph
     xyxy[..., [0, 2]] = xyxy[..., [0, 2]].clip(0, ow)
@@ -107,10 +118,12 @@ def masks_to_original(
     proc_hw: Tuple[int, int],
     orig_hw: Tuple[int, int],
     keep_ratio: bool,
+    pad_tl: Optional[Tuple[int, int]] = None,
 ) -> np.ndarray:
     """Resize mask probabilities to the original image (reference
     utils.py:715-769: upsample to processed size, strip letterbox pad,
-    resize to original)."""
+    resize to original).  ``pad_tl`` = actual (pad_top, pad_left); centered
+    assumed when omitted; rect mode passes (0, 0)."""
     ph, pw = proc_hw
     oh, ow = orig_hw
     k = mask_probs.shape[0]
@@ -121,10 +134,14 @@ def masks_to_original(
     y2, x2 = ph, pw
     if keep_ratio:
         gain = min(ph / oh, pw / ow)
-        padw = max(round((pw - ow * gain) / 2 - 0.1), 0)
-        padh = max(round((ph - oh * gain) / 2 - 0.1), 0)
-        y1, y2 = padh, ph - padh
-        x1, x2 = padw, pw - padw
+        nh, nw = int(round(oh * gain)), int(round(ow * gain))
+        if pad_tl is None:
+            padw = max(round((pw - ow * gain) / 2 - 0.1), 0)
+            padh = max(round((ph - oh * gain) / 2 - 0.1), 0)
+        else:
+            padh, padw = max(int(pad_tl[0]), 0), max(int(pad_tl[1]), 0)
+        y1, y2 = padh, min(padh + nh, ph)
+        x1, x2 = padw, min(padw + nw, pw)
     for i in range(k):
         m = cv2.resize(mask_probs[i].astype(np.float32), (pw, ph), interpolation=cv2.INTER_LINEAR)
         m = m[y1:y2, x1:x2]
@@ -158,10 +175,15 @@ def postprocess_predictions(
     keep_ratio: bool = False,
     per_class_conf: Optional[Dict[int, float]] = None,
     masks_are_logits: bool = False,
+    pads: Optional[Sequence[Optional[Tuple[int, int]]]] = None,
 ) -> List[Dict[str, np.ndarray]]:
     """Final per-image dicts matching the reference serving contract
     (labels/boxes/scores [+ masks], plus all_* arrays for mAP;
-    reference train.py:226-319, torch_model.py:156-234)."""
+    reference train.py:226-319, torch_model.py:156-234).
+
+    ``pads`` — optional per-image (pad_top, pad_left) actually applied at
+    preprocess; None entries fall back to the centered-letterbox assumption.
+    """
     scores = np.asarray(decoded["scores"])
     labels = np.asarray(decoded["labels"])
     boxes = np.asarray(decoded["boxes"])
@@ -172,7 +194,8 @@ def postprocess_predictions(
     results = []
     for b in range(scores.shape[0]):
         oh, ow = orig_sizes[b]
-        bb_all = boxes_to_original(boxes[b], proc_hw, (oh, ow), keep_ratio)
+        pad_tl = pads[b] if pads is not None else None
+        bb_all = boxes_to_original(boxes[b], proc_hw, (oh, ow), keep_ratio, pad_tl)
         if per_class_conf:
             thr = np.asarray([per_class_conf.get(int(l), conf_thresh) for l in labels[b]])
         else:
@@ -187,7 +210,7 @@ def postprocess_predictions(
             "all_scores": scores[b],
         }
         if masks is not None:
-            mk = masks_to_original(masks[b][keep], proc_hw, (oh, ow), keep_ratio)
+            mk = masks_to_original(masks[b][keep], proc_hw, (oh, ow), keep_ratio, pad_tl)
             binary = (mk >= conf_thresh).astype(np.uint8)
             out["masks"] = cleanup_masks(binary, out["boxes"])
         results.append(out)

@@ -54,10 +54,14 @@ def load_params_npz(path: Path) -> Dict:
 # --------------------------------------------------------- torch importer --
 
 
-def _torch_state_dict(path: Path) -> Dict[str, np.ndarray]:
+def _torch_state_dict(path: Path, allow_pickle: bool = False) -> Dict[str, np.ndarray]:
+    """Read a .pth/.pt state dict.  weights_only=True by default — matching
+    the reference (d_fine/utils.py:161) — so third-party checkpoint files
+    cannot execute arbitrary pickle code; pass allow_pickle=True only for
+    trusted local files that need full deserialization."""
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    obj = torch.load(path, map_location="cpu", weights_only=not allow_pickle)
     if isinstance(obj, dict):
         for key in ("ema", "model", "state_dict"):
             if key in obj:

@@ -46,6 +46,56 @@ def test_deploy_fusion_is_numerically_identical():
     )
 
 
+def _bare_serving(rect: bool, keep_ratio: bool):
+    """BaseServing with only the pre/postprocess attributes (no model) so the
+    geometry path is testable without a compile."""
+    from dfine_tpu.infer.base import BaseServing
+
+    m = object.__new__(BaseServing)
+    m.input_size = (640, 640)
+    m.rect = rect
+    m.keep_ratio = keep_ratio
+    m.conf_thresh = 0.5
+    m.per_class_conf = None
+    m.use_nms = False
+    m.enable_mask_head = False
+    return m
+
+
+@pytest.mark.parametrize("rect,keep_ratio", [(True, False), (False, True)])
+def test_preprocess_pads_round_trip_boxes(rect, keep_ratio):
+    """A known original-frame box, mapped into the processed frame with the
+    ACTUAL pads applied at preprocess, must unmap back to itself.  Guards the
+    r1 ADVICE bug: rect mode anchors top-left but postprocess assumed a
+    centered letterbox pad, shifting every output by half the pad."""
+    m = _bare_serving(rect, keep_ratio)
+    h0, w0 = 480, 1000
+    img = np.zeros((h0, w0, 3), np.uint8)
+    batch, proc_sizes, orig_sizes, pads = m._prepare_inputs(img)
+    ph, pw = proc_sizes[0]
+    if rect:
+        assert pads[0] == (0, 0)
+        assert (ph, pw) == (320, 640)  # stride-32 minimal canvas
+    box_orig = np.asarray([100.0, 50.0, 700.0, 400.0])
+    gain = min(ph / h0, pw / w0)
+    pt, pl = pads[0]
+    bp = np.asarray(
+        [box_orig[0] * gain + pl, box_orig[1] * gain + pt,
+         box_orig[2] * gain + pl, box_orig[3] * gain + pt]
+    )
+    cxcywh = np.asarray(
+        [[(bp[0] + bp[2]) / 2 / pw, (bp[1] + bp[3]) / 2 / ph,
+          (bp[2] - bp[0]) / pw, (bp[3] - bp[1]) / ph]], np.float32
+    )
+    decoded = {
+        "scores": np.asarray([[0.9]], np.float32),
+        "labels": np.asarray([[0]], np.int32),
+        "boxes": cxcywh[None],
+    }
+    (res,) = m._postprocess(decoded, proc_sizes, orig_sizes, pads)
+    np.testing.assert_allclose(res["boxes"][0], box_orig, atol=1.5)
+
+
 def test_nms():
     import jax.numpy as jnp
 
