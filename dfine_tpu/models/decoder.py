@@ -26,7 +26,7 @@ import flax.linen as nn
 from ..ops.boxes import inverse_sigmoid
 from ..ops.deform_attn import ms_deform_attn_core, ms_deform_attn_core_fused
 from ..ops.fdr import distance2bbox, integral, weighting_function
-from .layers import ConvBNA, MLP, MultiHeadSelfAttention, get_activation
+from .layers import ConvBNA, MLP, MultiHeadSelfAttention, bn_axis, get_activation
 from .denoising import build_cdn_queries, dn_attn_mask
 
 
@@ -238,6 +238,7 @@ class MaskPixelDecoder(nn.Module):
                     momentum=0.9,
                     epsilon=1e-5,
                     dtype=jnp.float32,
+                    axis_name=bn_axis(train),
                     name=f"bn_{i}",
                 )(x)
             ).astype(self.dtype)
@@ -258,6 +259,7 @@ class MaskPixelDecoder(nn.Module):
                 momentum=0.9,
                 epsilon=1e-5,
                 dtype=jnp.float32,
+                axis_name=bn_axis(train),
                 name="enc_bn",
             )(e).astype(self.dtype)
             e = jax.image.resize(e, (e.shape[0],) + size + (e.shape[-1],), "bilinear")
@@ -276,6 +278,7 @@ class MaskPixelDecoder(nn.Module):
             momentum=0.9,
             epsilon=1e-5,
             dtype=jnp.float32,
+            axis_name=bn_axis(train),
             name="bn1",
         )(x).astype(self.dtype)
         return nn.relu(x)
@@ -306,6 +309,11 @@ class DFINETransformer(nn.Module):
     up: float = 0.5
     enable_mask_head: bool = False
     mask_dim: int = 256
+    # widen post-eval_idx layers by this factor (reference dfine_decoder.py
+    # :195-197, 475-480): those layers train with d_model*ls / ffn*ls params
+    # and are pruned at deploy (eval stops at eval_idx).  No shipped size
+    # config uses != 1.
+    layer_scale: int = 1
     dtype: jnp.dtype = jnp.float32
 
     def _eval_idx(self):
@@ -360,6 +368,13 @@ class DFINETransformer(nn.Module):
                 self.label_noise_ratio,
                 self.box_noise_scale,
             )
+            # CDN geometry assumes the full query budget; training inputs are
+            # always large enough (sumHW >= num_queries) — the clamped-query
+            # path below exists only for tiny eval/serving canvases.
+            assert memory.shape[1] >= self.num_queries, (
+                f"training canvas too small: {memory.shape[1]} anchors < "
+                f"{self.num_queries} queries"
+            )
             keep = dn_attn_mask(dn_meta.num_group, dn_meta.max_gt, self.num_queries)
             attn_mask = jnp.asarray(keep)[None, None]  # [1,1,T,T]
             embed = nn.Embed(
@@ -394,16 +409,21 @@ class DFINETransformer(nn.Module):
             name="enc_score_head",
         )(out_mem)
 
+        # Query count is clamped to the (static) anchor count: tiny rect-mode
+        # canvases on the 2-level n model can have sumHW < num_queries, and
+        # top_k requires k <= axis size.  num_q is a trace-time Python int,
+        # so every downstream shape stays static per input shape.
+        num_q = min(self.num_queries, enc_logits.shape[1])
         if self.query_select_method == "default":
             sel = enc_logits.max(-1)
-            _, topk_ind = jax.lax.top_k(sel, self.num_queries)  # [B, Q]
+            _, topk_ind = jax.lax.top_k(sel, num_q)  # [B, Q]
         elif self.query_select_method == "one2many":
-            _, flat_ind = jax.lax.top_k(
-                enc_logits.reshape(b, -1), self.num_queries
-            )
+            # flattened over HW*C, queries may repeat (reference :893-900)
+            num_q = min(self.num_queries, enc_logits.shape[1] * enc_logits.shape[2])
+            _, flat_ind = jax.lax.top_k(enc_logits.reshape(b, -1), num_q)
             topk_ind = flat_ind // self.num_classes
         elif self.query_select_method == "agnostic":
-            _, topk_ind = jax.lax.top_k(enc_logits[..., 0], self.num_queries)
+            _, topk_ind = jax.lax.top_k(enc_logits[..., 0], num_q)
         else:
             raise ValueError(self.query_select_method)
 
@@ -429,10 +449,12 @@ class DFINETransformer(nn.Module):
 
         content = jax.lax.stop_gradient(topk_memory)
         if self.learn_query_content:
+            # param keeps the full budget (checkpoint parity); slice when the
+            # canvas supports fewer queries
             tgt_embed = self.param(
                 "tgt_embed", nn.initializers.xavier_uniform(), (self.num_queries, hd)
             )
-            content = jnp.tile(tgt_embed[None], (b, 1, 1)).astype(self.dtype)
+            content = jnp.tile(tgt_embed[None, :num_q], (b, 1, 1)).astype(self.dtype)
         ref_unact = jax.lax.stop_gradient(enc_bbox_unact)
 
         if dn_bbox_unact is not None:
@@ -449,24 +471,56 @@ class DFINETransformer(nn.Module):
         pred_corners_undetach = 0.0
         ref_points_detach = nn.sigmoid(ref_unact)
 
+        # wide post-eval layers (layer_scale > 1): inputs are channel-nearest
+        # upsampled like the reference's F.interpolate (default nearest mode,
+        # dfine_decoder.py:475-480); the wide value view is built once.
+        ls = int(self.layer_scale)
+        assert ls >= 1, "layer_scale must be >= 1"
+        if ls > 1:
+            assert not self.enable_mask_head, (
+                "layer_scale > 1 is incompatible with the mask head (the "
+                "shared mask MLP cannot take mixed-width queries; the "
+                "reference never combines them either)"
+            )
+
+        def chan_nearest(x, width):
+            return jax.image.resize(x, x.shape[:-1] + (width,), method="nearest")
+
+        wide_hd = hd * ls
+        value_wide = None
+        if ls > 1 and train and num_run_layers > eval_idx + 1:
+            assert wide_hd % self.nhead == 0
+            mem_w = chan_nearest(memory, wide_hd)
+            value_wide = mem_w.reshape(b, memory.shape[1], self.nhead, wide_hd // self.nhead)
+
         dec_bboxes, dec_logits, dec_corners, dec_refs, dec_hs = [], [], [], [], []
         pre_bboxes = pre_scores = ref_points_initial = None
         query_pos_head = MLP(2 * hd, hd, 2, dtype=self.dtype, name="query_pos_head")
 
         for i in range(num_run_layers):
+            wide = ls > 1 and i >= eval_idx + 1
+            if wide and i == eval_idx + 1:
+                # transition into the widened tail (reference :475-480)
+                output = chan_nearest(output, wide_hd)
+                output_detach = jax.lax.stop_gradient(output)
+            d_i = wide_hd if wide else hd
+            ffn_i = self.dim_feedforward * ls if wide else self.dim_feedforward
             query_pos = jnp.clip(
                 query_pos_head(ref_points_detach.astype(self.dtype)), -10, 10
             )
+            if wide:
+                query_pos = chan_nearest(query_pos, wide_hd)
             output = TransformerDecoderLayer(
-                hd,
+                d_i,
                 self.nhead,
-                self.dim_feedforward,
+                ffn_i,
                 self.num_levels,
                 tuple(self.num_points),
                 self.activation,
                 dtype=self.dtype,
                 name=f"decoder_layers_{i}",
-            )(output, ref_points_detach, value, spatial_shapes, attn_mask, query_pos)
+            )(output, ref_points_detach, value_wide if wide else value,
+              spatial_shapes, attn_mask, query_pos)
             if self.enable_mask_head:
                 dec_hs.append(output)
 
@@ -485,7 +539,7 @@ class DFINETransformer(nn.Module):
 
             pred_corners = (
                 MLP(
-                    hd,
+                    d_i,  # wide layers get wide-hidden heads (reference :693)
                     4 * (self.reg_max + 1),
                     3,
                     zero_last=True,

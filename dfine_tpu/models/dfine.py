@@ -24,10 +24,18 @@ class DFINE(nn.Module):
     num_classes: int = 80
     enable_mask_head: bool = False
     dtype: jnp.dtype = jnp.float32
+    # ("section.key", value) pairs patched over model_config(size) — hashable
+    # so the module stays a valid static jit argument.  e.g.
+    # (("decoder.num_denoising", 0), ("decoder.layer_scale", 2))
+    cfg_overrides: tuple = ()
 
     @nn.compact
     def __call__(self, x, targets: Optional[Dict[str, Any]] = None, train: bool = False):
         cfg = model_config(self.size)
+        cfg = {k: dict(v) for k, v in cfg.items()}  # shallow-copy sections
+        for path, value in self.cfg_overrides:
+            section, key = path.split(".")
+            cfg[section][key] = value
         bcfg, ecfg, dcfg = cfg["backbone"], cfg["encoder"], cfg["decoder"]
         feats = HGNetv2(
             name_=bcfg["name"],
@@ -65,6 +73,7 @@ class DFINE(nn.Module):
             label_noise_ratio=dcfg["label_noise_ratio"],
             box_noise_scale=dcfg["box_noise_scale"],
             eval_idx=dcfg["eval_idx"],
+            layer_scale=dcfg.get("layer_scale", 1),
             query_select_method=dcfg["query_select_method"],
             reg_max=dcfg["reg_max"],
             reg_scale=dcfg["reg_scale"],
@@ -80,12 +89,17 @@ def build_model(
     num_classes: int,
     enable_mask_head: bool = False,
     dtype: jnp.dtype = jnp.float32,
+    cfg_overrides: tuple = (),
 ) -> DFINE:
     """Factory mirroring reference dfine.py:51-70 (weight loading is handled
-    separately by dfine_tpu.utils.checkpoint / torch_import)."""
+    separately by dfine_tpu.utils.checkpoint / torch_import).
+
+    cfg_overrides: (("section.key", value), ...) patches over the size
+    config, e.g. (("decoder.num_denoising", 0),)."""
     return DFINE(
         size=model_name,
         num_classes=num_classes,
         enable_mask_head=enable_mask_head,
         dtype=dtype,
+        cfg_overrides=tuple(cfg_overrides),
     )
