@@ -21,6 +21,29 @@ from typing import Callable, Optional, Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
+# ---------------------------------------------------------------- SyncBN --
+# Cross-replica BatchNorm (the reference enables torch SyncBatchNorm only
+# when per-rank batch < 4, src/dl/train.py:159-160).  The axis name is a
+# process-level static read at TRACE time by every BatchNorm below; the
+# trainer sets it before its first train-step invocation when the per-replica
+# batch is small, so forward statistics are psum'ed over the dp mesh axis.
+# Eval traces (use_running_average=True) never compute stats and are
+# unaffected.  A static rather than a threaded module field: BN appears at
+# 40 instantiation sites and the value is necessarily uniform per program.
+
+_BN_AXIS: Optional[str] = None
+
+
+def set_bn_axis(axis: Optional[str]) -> None:
+    """Enable (axis='dp') / disable (None) cross-replica SyncBN for all
+    subsequently TRACED train-mode programs."""
+    global _BN_AXIS
+    _BN_AXIS = axis
+
+
+def bn_axis(train: bool) -> Optional[str]:
+    return _BN_AXIS if train else None
+
 
 def get_activation(name: Optional[str]) -> Callable[[jnp.ndarray], jnp.ndarray]:
     if name is None or name == "identity":
@@ -88,6 +111,7 @@ class ConvBN(nn.Module):
             momentum=0.9,
             epsilon=1e-5,
             dtype=jnp.float32,
+            axis_name=bn_axis(train),
             name="bn",
         )(x)
         x = x.astype(self.dtype)
@@ -134,6 +158,7 @@ class ConvBNA(nn.Module):
             momentum=0.9,
             epsilon=1e-5,
             dtype=jnp.float32,
+            axis_name=bn_axis(train),
             name="norm",
         )(x)
         x = x.astype(self.dtype)
