@@ -332,7 +332,7 @@ def criterion_forward(
     losses: Dict[str, jnp.ndarray] = {}
     wd = cfg.weight_dict
     use = set(cfg.losses)
-    teacher_c = outputs["pred_corners"]
+    teacher_c = outputs.get("pred_corners")  # absent when 'local' unused
     teacher_l = outputs["pred_logits"]
 
     fgl_cache = fgl_targets(outputs, targets, go_q, go_t, cfg) if "local" in use else None

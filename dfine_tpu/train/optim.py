@@ -59,11 +59,15 @@ def label_tree(params: Any) -> Any:
 
 
 def onecycle(peak: float, cfg: OptimConfig) -> optax.Schedule:
-    total = max(1, cfg.epochs * max(1, cfg.steps_per_epoch) // max(1, cfg.b_accum_steps))
+    total = max(2, cfg.epochs * max(1, cfg.steps_per_epoch) // max(1, cfg.b_accum_steps))
+    # optax's piecewise interpolation divides by the warmup interval length;
+    # total*pct_start < 1 collapses it to zero and the whole schedule goes
+    # NaN (bites any short run).  Guarantee >= 1 warmup step.
+    pct = min(max(cfg.pct_start, 1.0 / total), 1.0 - 1.0 / total)
     return optax.cosine_onecycle_schedule(
         transition_steps=total,
         peak_value=peak,
-        pct_start=cfg.pct_start,
+        pct_start=pct,
         div_factor=25.0,
         final_div_factor=1e4,
     )

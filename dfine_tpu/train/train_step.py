@@ -57,11 +57,17 @@ def make_train_step(
     axis_name: Optional[str] = None,
     ema_base: float = 0.9999,
     update_mask: Any = None,
+    b_accum_steps: int = 1,
 ):
     """Builds the pure step function.
 
     model: flax module with __call__(x, targets, train).  ``update_mask``
     (pytree of bool) implements freeze_at / freeze_norm by zeroing updates.
+    With ``b_accum_steps > 1`` (tx wrapped in optax.MultiSteps) the EMA
+    updates once per completed OPTIMIZER step with the optimizer-step count
+    driving its warmup momentum — matching the reference, which calls
+    ModelEMA.update only inside optimizer_step (train.py:488-511), not per
+    micro-batch.
     """
 
     def loss_fn(params, batch_stats, batch, rng):
@@ -92,8 +98,23 @@ def make_train_step(
         it = state.step + 1
         ema_p, ema_b = state.ema_params, state.ema_batch_stats
         if ema_p is not None:
-            ema_p = ema_update(ema_p, params, it, ema_base)
-            ema_b = ema_update(ema_b, new_bs, it, ema_base)
+            if b_accum_steps > 1:
+                # MultiSteps applied a real update iff mini_step wrapped to 0;
+                # momentum warmup follows the optimizer-step count.
+                did_step = (opt_state.mini_step == 0).astype(jnp.float32)
+                opt_it = opt_state.gradient_step
+                cand_p = ema_update(ema_p, params, opt_it, ema_base)
+                cand_b = ema_update(ema_b, new_bs, opt_it, ema_base)
+                blend = lambda old, new: jax.tree.map(
+                    lambda o, n: o + did_step.astype(o.dtype) * (n - o)
+                    if jnp.issubdtype(o.dtype, jnp.floating) else n,
+                    old, new,
+                )
+                ema_p = blend(ema_p, cand_p)
+                ema_b = blend(ema_b, cand_b)
+            else:
+                ema_p = ema_update(ema_p, params, it, ema_base)
+                ema_b = ema_update(ema_b, new_bs, it, ema_base)
         new_state = state.replace(
             step=it,
             params=params,

@@ -133,3 +133,66 @@ def test_freeze_mask():
     assert m["backbone"]["stem"]["conv"]["kernel"] is False
     assert m["backbone"]["stages_0"]["bn"]["scale"] is False
     assert m["decoder"]["head"]["kernel"] is True
+
+
+def test_ema_updates_once_per_optimizer_step_under_accumulation():
+    """With b_accum_steps=2 (optax.MultiSteps) the EMA must change only on
+    micro-steps that complete an optimizer step, with its warmup momentum
+    driven by the OPTIMIZER-step count — matching the reference, which calls
+    ModelEMA.update inside optimizer_step only (train.py:488-511)."""
+    import flax.linen as nn
+
+    from dfine_tpu.train.criterion import CriterionConfig
+    from dfine_tpu.train.optim import OptimConfig, build_optimizer
+    from dfine_tpu.train.train_step import TrainState, make_train_step
+
+    Q, C = 6, 3
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, targets=None, train=False):
+            h = nn.Dense(8)(x)
+            h = nn.BatchNorm(use_running_average=not train)(h)
+            logits = nn.Dense(Q * C)(h).reshape(-1, Q, C)
+            boxes = nn.sigmoid(nn.Dense(Q * 4)(h).reshape(-1, Q, 4))
+            out = {"pred_logits": logits, "pred_boxes": boxes}
+            out["pre_outputs"] = {"pred_logits": logits, "pred_boxes": boxes}
+            return out
+
+    model = Tiny()
+    x = jnp.asarray(np.random.default_rng(0).uniform(size=(2, 5)).astype(np.float32))
+    targets = {
+        "labels": jnp.zeros((2, 3), jnp.int32),
+        "boxes": jnp.tile(jnp.asarray([[[0.5, 0.5, 0.2, 0.2]]], jnp.float32), (2, 3, 1)),
+        "valid": jnp.asarray([[True, True, False], [True, False, False]]),
+    }
+    variables = model.init({"params": jax.random.key(0)}, x, train=True)
+    tx = build_optimizer(
+        variables["params"],
+        OptimConfig(steps_per_epoch=8, epochs=1, b_accum_steps=2),
+    )
+    state = TrainState.create(variables, tx, use_ema=True)
+    step = jax.jit(
+        make_train_step(
+            model, tx, CriterionConfig(num_classes=C, losses=("vfl", "boxes")),
+            b_accum_steps=2,
+        )
+    )
+    batch = {"images": x, "targets": targets}
+
+    def ema_vec(s):
+        return np.concatenate([np.ravel(l) for l in jax.tree.leaves(s.ema_params)])
+
+    def p_vec(s):
+        return np.concatenate([np.ravel(l) for l in jax.tree.leaves(s.params)])
+
+    s0 = state
+    s1, _ = step(s0, batch, jax.random.key(1))  # micro 1: accumulate only
+    assert np.allclose(p_vec(s1), p_vec(state)), "MultiSteps must not step yet"
+    s2, _ = step(s1, batch, jax.random.key(2))  # micro 2: optimizer step 1
+    assert not np.allclose(p_vec(s2), p_vec(s1))
+    e2 = ema_vec(s2)
+    s3, _ = step(s2, batch, jax.random.key(3))  # micro 3: accumulate only
+    np.testing.assert_array_equal(ema_vec(s3), e2)  # EMA frozen mid-accumulation
+    s4, _ = step(s3, batch, jax.random.key(4))  # micro 4: optimizer step 2
+    assert not np.allclose(ema_vec(s4), e2)
