@@ -36,6 +36,9 @@ class MatcherConfig:
     alpha: float = 0.25
     gamma: float = 2.0
     use_focal_loss: bool = True
+    # > 0 enables one-to-many repeat matching with that many rounds
+    # (reference matcher.py:31-50 ``return_topk``); see match_one_to_many.
+    return_topk: int = 0
 
 
 def matching_cost(
@@ -124,6 +127,37 @@ def go_union(
     )
     keep = winner & (idx == first[b_ar, q_flat])
     return q_flat, t_flat, keep
+
+
+def match_one_to_many(
+    costs: jnp.ndarray,  # [S, B, G, Q] (or [B, G, Q])
+    tgt_valid: jnp.ndarray,  # [B, G]
+    k: int,
+) -> jnp.ndarray:
+    """One-to-many top-k repeat matching (reference matcher.py:123-158,
+    ``return_topk`` / ``get_top_k_matches``): run the exact assignment k
+    times, blocking each round's matched queries with a prohibitive cost so
+    every valid GT slot collects k DISTINCT queries.
+
+    Returns query indices [..., k, G] (round-major), fixed-size on device.
+    The reference's numpy fancy-indexing incidentally also blocks query rows
+    whose index equals a matched target column (``c[:, idx_k] = 1e6`` hits a
+    [2, n] index array); we implement the documented intent — block matched
+    queries only.
+    """
+    squeeze = costs.ndim == 3
+    c = costs[None] if squeeze else costs
+    q = c.shape[-1]
+    rounds = []
+    for _ in range(k):
+        m = hungarian(c)  # [S, B, G]
+        rounds.append(m)
+        # block matched queries of VALID rows for the following rounds
+        midx = jnp.where(tgt_valid[None], m, q)  # padded rows stay neutral
+        blocked = jax.nn.one_hot(midx, q, dtype=c.dtype).sum(2) > 0  # [S,B,Q]
+        c = c + jnp.where(blocked[:, :, None, :], 1e6, 0.0)
+    out = jnp.stack(rounds, axis=-2)  # [S, B, k, G]
+    return out[0] if squeeze else out
 
 
 def solve_matchings(

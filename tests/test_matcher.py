@@ -167,3 +167,47 @@ def test_device_hungarian_matches_native_cpp():
 
 def test_native_lib_builds():
     assert have_native()
+
+
+def test_one_to_many_topk_matching():
+    """match_one_to_many (reference matcher.py:123-158 get_top_k_matches):
+    k rounds of exact assignment, matched queries blocked between rounds ->
+    per image each valid GT slot collects k DISTINCT queries, round 1 equals
+    the standard matching, and every round is scipy-optimal on the cost with
+    previous rounds' queries blocked."""
+    from dfine_tpu.matcher import match_one_to_many
+
+    rng = np.random.default_rng(11)
+    B, G, Q, K = 3, 5, 40, 3
+    c = rng.normal(size=(B, G, Q)).astype(np.float32)
+    valid = np.ones((B, G), bool)
+    valid[1, 3:] = False  # padded GT rows must stay neutral
+
+    out = np.asarray(
+        jax.jit(lambda c, v: match_one_to_many(c, v, K))(
+            jnp.asarray(c), jnp.asarray(valid)
+        )
+    )  # [B, K, G]
+    assert out.shape == (B, K, G)
+
+    base = np.asarray(hungarian(jnp.asarray(c)))
+    np.testing.assert_array_equal(out[:, 0], base)
+
+    for b in range(B):
+        g_valid = valid[b]
+        # distinct queries across rounds for each valid row, and per-round
+        # scipy optimality on the progressively blocked cost
+        cb = c[b].copy()
+        used = set()
+        for r in range(K):
+            qs = out[b, r][g_valid]
+            assert len(set(qs.tolist()) & used) == 0
+            assert len(set(qs.tolist())) == g_valid.sum()
+            rr, cc = linear_sum_assignment(cb[g_valid])
+            np.testing.assert_allclose(
+                cb[g_valid][np.arange(g_valid.sum()), qs].sum(),
+                cb[g_valid][rr, cc].sum(),
+                rtol=1e-5, atol=1e-4,
+            )
+            used |= set(qs.tolist())
+            cb[:, qs] += 1e6
