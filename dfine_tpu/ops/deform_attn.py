@@ -101,6 +101,49 @@ def ms_deform_attn_core(
     return out.reshape(b, q, nhead * d)
 
 
+def sorted_segment_scatter(
+    idx: jnp.ndarray,  # [R, N] int32 destination rows, -1 = dropped
+    contrib: jnp.ndarray,  # [R, N, D] float contributions
+    hw: int,
+) -> jnp.ndarray:
+    """Duplicate-index scatter-add as sort + cumsum + binary-search gather.
+
+    XLA:TPU serializes scatter-adds with duplicate indices (the ~103 ms
+    deform-attn value gradient, NOTES.md).  Parallel segment-sum instead:
+    sort updates by destination, prefix-sum the payload, then for every
+    output row binary-search its run boundary and take the cumsum
+    difference.  Sort, cumsum, and searchsorted are all parallel on TPU and
+    there is NO scatter anywhere.
+
+    Returns [R, hw, D].
+    """
+    r, n = idx.shape
+    d = contrib.shape[-1]
+
+    def one(idx1, c1):
+        key = jnp.where(idx1 < 0, hw, idx1)  # dropped entries sort last
+        order = jnp.argsort(key)
+        key_s = key[order]
+        csum = jnp.cumsum(jnp.take(c1, order, axis=0).astype(jnp.float32), axis=0)
+        # for each output row j: pos = last sorted element with key <= j
+        pos = jnp.searchsorted(key_s, jnp.arange(hw, dtype=key_s.dtype), side="right") - 1
+        pos_c = jnp.clip(pos, 0, n - 1)
+        hit = (pos >= 0) & (jnp.take(key_s, pos_c) == jnp.arange(hw))
+        end_csum = jnp.take(csum, pos_c, axis=0)
+        # csum just before the run start = csum at the previous row's end
+        prev_pos = jnp.searchsorted(
+            key_s, jnp.arange(hw, dtype=key_s.dtype), side="left"
+        ) - 1
+        start_csum = jnp.where(
+            (prev_pos >= 0)[:, None],
+            jnp.take(csum, jnp.clip(prev_pos, 0, n - 1), axis=0),
+            0.0,
+        )
+        return jnp.where(hit[:, None], end_csum - start_csum, 0.0)
+
+    return jax.vmap(one)(idx, contrib).astype(contrib.dtype)
+
+
 def _corner_tables():
     return (
         (0, 0, lambda fx, fy: (1 - fx) * (1 - fy), lambda fx, fy: -(1 - fy), lambda fx, fy: -(1 - fx)),
@@ -117,14 +160,21 @@ def ms_deform_attn_core_fused(
     attention_weights: jnp.ndarray,
     num_points_list: Sequence[int],
     interpret: bool = False,
+    scatter_impl: str = "sorted",
 ) -> jnp.ndarray:
     """ms_deform_attn_core with a custom VJP.
 
     Forward is identical to the XLA version (gathers are fast).  The
     backward replaces XLA's serialized scatter-add for the VALUE gradient
-    (~103 ms of a D-FINE-m train step, see NOTES.md) with the Pallas
-    one-hot-matmul kernel (ops/pallas/scatter_rows.py); grads w.r.t.
-    sampling locations and attention weights are closed-form re-gathers.
+    (~103 ms of a D-FINE-m train step, see NOTES.md):
+
+    * ``scatter_impl="sorted"`` (default): sort+cumsum+binary-search
+      segment-sum (``sorted_segment_scatter``) — fully parallel, no scatter.
+    * ``scatter_impl="pallas"``: the r1 one-hot-matmul kernel
+      (ops/pallas/scatter_rows.py) — measured slower, kept as comparison.
+
+    Grads w.r.t. sampling locations and attention weights are closed-form
+    re-gathers in both cases.
     """
     spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
     num_points_list = tuple(int(p) for p in num_points_list)
@@ -137,7 +187,12 @@ def ms_deform_attn_core_fused(
         return core(value, loc, att), (value, loc, att)
 
     def bwd(res, g_out):
-        from .pallas import rows_scatter_add
+        if scatter_impl == "pallas":
+            from .pallas import rows_scatter_add
+
+            scatter = lambda i, c, hw: rows_scatter_add(i, c, hw, interpret=interpret)
+        else:
+            scatter = sorted_segment_scatter
 
         value, loc, att = res
         b, q = loc.shape[:2]
@@ -202,7 +257,7 @@ def ms_deform_attn_core_fused(
             )
             idx_all = jnp.concatenate(idx_parts, axis=1)  # [BH, Q*P*4]
             contrib_all = jnp.concatenate(contrib_parts, axis=1)
-            gv_level = rows_scatter_add(idx_all, contrib_all, hw, interpret=interpret)
+            gv_level = scatter(idx_all, contrib_all, hw)
             gv_level = gv_level.reshape(b, nhead, hw, d).transpose(0, 2, 1, 3)
             grad_val_parts.append(gv_level)
             hw_start += hw

@@ -52,3 +52,54 @@ def test_fused_core_vjp_matches_autodiff():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=2e-4 * scale, err_msg=f"grad {name}"
         )
+
+
+def test_sorted_segment_scatter_matches_dense():
+    from dfine_tpu.ops.deform_attn import sorted_segment_scatter
+
+    rng = np.random.default_rng(3)
+    R, N, D, HW = 4, 3000, 32, 640
+    idx = rng.integers(-1, HW, size=(R, N)).astype(np.int32)
+    c = rng.normal(size=(R, N, D)).astype(np.float32)
+    out = np.asarray(
+        jax.jit(lambda i, c: sorted_segment_scatter(i, c, HW))(
+            jnp.asarray(idx), jnp.asarray(c)
+        )
+    )
+    ref = np.zeros((R, HW, D), np.float32)
+    for r in range(R):
+        for n in range(N):
+            if idx[r, n] >= 0:
+                ref[r, idx[r, n]] += c[r, n]
+    np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-5)
+
+
+def test_fused_sorted_grads_match_autodiff():
+    """The production train path uses the custom VJP with the sorted
+    segment-sum value gradient; it must match XLA autodiff on all three
+    inputs including out-of-bounds sampling locations."""
+    from dfine_tpu.ops.deform_attn import (
+        ms_deform_attn_core,
+        ms_deform_attn_core_fused,
+    )
+
+    rng = np.random.default_rng(0)
+    B, Q, H, D = 2, 50, 8, 16
+    shapes = ((20, 20), (10, 10), (5, 5))
+    pts = (3, 6, 3)
+    sumhw = sum(h * w for h, w in shapes)
+    P = sum(pts)
+    value = jnp.asarray(rng.normal(size=(B, sumhw, H, D)).astype(np.float32))
+    loc = jnp.asarray(rng.uniform(-0.1, 1.1, size=(B, Q, H, P, 2)).astype(np.float32))
+    att = jax.nn.softmax(jnp.asarray(rng.normal(size=(B, Q, H, P)).astype(np.float32)), -1)
+
+    g_ref = jax.jit(jax.grad(
+        lambda v, l, a: (ms_deform_attn_core(v, shapes, l, a, pts) ** 2).sum(),
+        argnums=(0, 1, 2),
+    ))(value, loc, att)
+    g_f = jax.jit(jax.grad(
+        lambda v, l, a: (ms_deform_attn_core_fused(v, shapes, l, a, pts) ** 2).sum(),
+        argnums=(0, 1, 2),
+    ))(value, loc, att)
+    for a, b in zip(g_ref, g_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
