@@ -52,7 +52,7 @@ def load_variables(model, img_hw):
     return jax.tree.map(jnp.asarray, load_torch_checkpoint(p, template))
 
 
-def build(enable_masks: bool):
+def build(enable_masks: bool, int8: bool = False):
     from dfine_tpu.models import build_model
     from dfine_tpu.ops.preprocess import preprocess_plain
     from dfine_tpu.postprocess import topk_decode
@@ -61,11 +61,20 @@ def build(enable_masks: bool):
         "m", num_classes=80, enable_mask_head=enable_masks, dtype=jnp.bfloat16
     )
     variables = load_variables(model, (640, 640))
+    if int8:
+        from dfine_tpu.infer.int8 import apply_int8, convert_params_int8
+
+        variables = jax.tree.map(
+            jnp.asarray, convert_params_int8(jax.tree.map(np.asarray, variables))
+        )
+        run = lambda v, x: apply_int8(model, v, x, train=False)
+    else:
+        run = lambda v, x: model.apply(v, x, train=False)
 
     @jax.jit
     def infer(variables, raw_uint8):
         x = preprocess_plain(raw_uint8, (640, 640))
-        out = model.apply(variables, x, train=False)
+        out = run(variables, x)
         dec = topk_decode(
             out["pred_logits"], out["pred_boxes"], 300,
             masks=out.get("pred_masks"),
@@ -97,23 +106,28 @@ def main():
 
     infer_det, var_det = build(enable_masks=False)
     det_p50 = measure(infer_det, var_det, raw_np)
-    del var_det
+    del infer_det, var_det
+
+    int8_p50 = None
+    if os.environ.get("DFINE_BENCH_INT8", "1") != "0":
+        infer_i8, var_i8 = build(enable_masks=False, int8=True)
+        int8_p50 = measure(infer_i8, var_i8, raw_np)
+        del infer_i8, var_i8
 
     infer_seg, var_seg = build(enable_masks=True)
     seg_p50 = measure(infer_seg, var_seg, raw_np)
 
     baseline_ms = 5.5  # TensorRT FP16 / RTX 5070 Ti, det+seg e2e (BASELINE.md)
-    print(
-        json.dumps(
-            {
-                "metric": "dfine_m_640_detseg_e2e_latency_p50",
-                "value": round(seg_p50, 3),
-                "unit": "ms",
-                "vs_baseline": round(baseline_ms / seg_p50, 3),
-                "det_p50_ms": round(det_p50, 3),
-            }
-        )
-    )
+    row = {
+        "metric": "dfine_m_640_detseg_e2e_latency_p50",
+        "value": round(seg_p50, 3),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / seg_p50, 3),
+        "det_p50_ms": round(det_p50, 3),
+    }
+    if int8_p50 is not None:
+        row["det_int8_p50_ms"] = round(int8_p50, 3)
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

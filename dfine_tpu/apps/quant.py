@@ -1,12 +1,15 @@
 """`make quant` — the OpenVINO-INT8 analog (reference src/dl/ov_int8.py).
 
-On TPU the low-precision serving variant is int8 weight quantization of the
-matmul/conv weights with bf16 activations (per-channel symmetric absmax),
-validated against an accuracy gate: quantize, run the val split, accept only
-if F1 drop <= max_drop (reference quantize_with_accuracy_control semantics,
-ov_int8.py:130-139).  Falls back to bf16 weights for layers whose
-quantization breaks the gate is out of scope this round — the gate is
-all-or-nothing like the reference's MIXED preset default."""
+Quantizes every Dense kernel to int8 (per-output-channel symmetric absmax)
+and evaluates the model with REAL int8 ``dot_general`` execution
+(dfine_tpu/infer/int8.py) — not fake-quant — against the same accuracy gate
+as the reference's ``quantize_with_accuracy_control`` (ov_int8.py:130-139):
+accept only if the val F1 drop is <= ``export.int8_max_drop``.  Convolutions
+stay bf16 like nncf's MIXED preset keeps sensitive layers in fp.
+
+On accept, saves ``export_int8.npz`` holding the int8 kernels + scales;
+serve it with ``dfine_tpu.infer.Int8Model``.
+"""
 
 from __future__ import annotations
 
@@ -17,29 +20,11 @@ import numpy as np
 
 
 def quantize_weights_int8(variables):
-    """Per-output-channel symmetric int8 fake-quant of conv/dense kernels.
+    """Back-compat alias: per-channel int8 conversion (real int8 storage).
+    See dfine_tpu.infer.int8.convert_params_int8."""
+    from ..infer.int8 import convert_params_int8
 
-    Returns variables with kernels replaced by dequantized int8 values —
-    serving still runs bf16 math but weights carry int8 information content
-    (the XLA path to true int8 matmuls can reuse these scales)."""
-    import jax.numpy as jnp
-    from flax import traverse_util
-
-    flat = traverse_util.flatten_dict(variables["params"], sep="/")
-    out = {}
-    for k, v in flat.items():
-        v = np.asarray(v)
-        if k.endswith("/kernel") and v.ndim >= 2:
-            axes = tuple(range(v.ndim - 1))
-            scale = np.abs(v).max(axis=axes, keepdims=True) / 127.0
-            scale = np.where(scale == 0, 1.0, scale)
-            q = np.clip(np.round(v / scale), -127, 127)
-            out[k] = (q * scale).astype(v.dtype)
-        else:
-            out[k] = v
-    res = dict(variables)
-    res["params"] = traverse_util.unflatten_dict(out, sep="/")
-    return res
+    return convert_params_int8(variables)
 
 
 def main(argv=None):
@@ -60,23 +45,37 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from dfine_tpu.infer.int8 import apply_int8, convert_params_int8, count_int8
+    from dfine_tpu.postprocess import topk_decode
+
     variables = tr._current_eval_variables()
-    quant = quantize_weights_int8(jax.tree.map(lambda x: x, variables))
-    qp = jax.tree.map(jnp.asarray, quant["params"])
-    tr.state = tr.state.replace(
-        params=qp,
-        ema_params=qp if tr.use_ema else None,
-        ema_batch_stats=tr.state.batch_stats if tr.use_ema else None,
+    v8 = jax.tree.map(
+        jnp.asarray, convert_params_int8(jax.tree.map(np.asarray, variables))
     )
+    nq, nk = count_int8(v8)
+
+    # reroute the trainer's eval through the int8 interceptor
+    model = tr.model
+
+    @jax.jit
+    def int8_eval(variables, images):
+        out = apply_int8(model, variables, images, train=False)
+        return topk_decode(
+            out["pred_logits"], out["pred_boxes"], 300, masks=out.get("pred_masks")
+        )
+
+    tr._eval_fn = int8_eval
+    tr._current_eval_variables = lambda: v8
     f1_q = tr.evaluate("val")["f1"]
     drop = base - f1_q
     ok = drop <= max_drop
+    print(f"int8 kernels: {nq}/{nk}")
     print(f"fp F1={base:.4f}  int8 F1={f1_q:.4f}  drop={drop:.4f}  "
           f"{'ACCEPTED' if ok else 'REJECTED'} (max_drop={max_drop})")
     if ok:
         from dfine_tpu.utils.checkpoint import save_params_npz
 
-        save_params_npz(exp_dir / "export_int8.npz", quant)
+        save_params_npz(exp_dir / "export_int8.npz", v8)
         print(f"saved {exp_dir / 'export_int8.npz'}")
 
 

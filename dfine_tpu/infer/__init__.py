@@ -1,3 +1,3 @@
-from .jax_model import JAXModel  # noqa: F401
+from .jax_model import JAXModel, Int8Model  # noqa: F401
 from .aot_model import AOTModel  # noqa: F401
 from .exported_model import ExportedModel  # noqa: F401

@@ -1,0 +1,108 @@
+"""True INT8 serving — actual int8 ``lax.dot_general`` execution on the MXU.
+
+The reference ships OpenVINO-NNCF int8 engines that really execute int8
+kernels (src/dl/ov_int8.py:130-139).  The TPU-native equivalent here:
+
+* **weights** of every 2-D Dense/DenseGeneral kernel (decoder + encoder
+  attention/FFN/heads — where the serving FLOPs and HBM weight traffic live)
+  are stored as ``int8`` with per-output-channel symmetric absmax scales
+  (the same scales ``apps/quant.py`` computes);
+* **activations** are dynamically quantized per row (token) at runtime;
+* the matmul runs ``lax.dot_general(int8, int8) -> int32`` — the MXU's
+  double-rate int8 path — then rescales to bf16 and adds the fp bias.
+
+Convolutions (the backbone) stay bf16, mirroring the reference's MIXED
+preset (nncf MIXED keeps sensitive layers in fp).  Accuracy is enforced by
+the same F1 gate (``apps/quant.py``).
+
+Mechanism: params are converted so Dense kernels hold int8 arrays and a
+parallel ``quant`` collection holds their scales; a flax method interceptor
+replaces the ``__call__`` of affected Dense modules at trace time with the
+int8 compute.  Model code is untouched and the param tree structure (minus
+dtypes) is checkpoint-compatible.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from flax import traverse_util
+
+
+def convert_params_int8(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize every 2-D ``kernel`` leaf to int8 (per-output-channel
+    symmetric absmax) and emit a parallel ``quant`` collection with fp32
+    scales.  Non-kernel / conv (4-D) leaves pass through unchanged."""
+    if "quant" in variables:  # already converted (e.g. export_int8.npz)
+        return variables
+    flat = traverse_util.flatten_dict(variables["params"], sep="/")
+    out, scales = {}, {}
+    for k, v in flat.items():
+        a = np.asarray(v)
+        if (k == "kernel" or k.endswith("/kernel")) and a.ndim == 2:
+            s = np.abs(a).max(axis=0, keepdims=True) / 127.0  # [1, out]
+            s = np.where(s == 0, 1.0, s).astype(np.float32)
+            q = np.clip(np.round(a / s), -127, 127).astype(np.int8)
+            out[k] = q
+            scales["scale" if k == "kernel" else k[: -len("/kernel")] + "/scale"] = s[0]
+        else:
+            out[k] = a
+    res = dict(variables)
+    res["params"] = traverse_util.unflatten_dict(out, sep="/")
+    res["quant"] = traverse_util.unflatten_dict(scales, sep="/")
+    return res
+
+
+def _int8_matmul(x: jnp.ndarray, kq: jnp.ndarray, w_scale: jnp.ndarray) -> jnp.ndarray:
+    """y = dequant(int8(x) @ kq) with dynamic per-row activation scales."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, kq,
+        (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return y.astype(jnp.float32) * sx * w_scale.astype(jnp.float32)
+
+
+def int8_interceptor(next_fun, args, kwargs, context):
+    """flax method interceptor: reroute Dense/DenseGeneral calls whose kernel
+    was converted to int8 through the int8 matmul."""
+    m = context.module
+    if (
+        context.method_name == "__call__"
+        and isinstance(m, (nn.Dense, nn.DenseGeneral))
+        and m.scope is not None
+        and m.scope.has_variable("params", "kernel")
+    ):
+        k = m.scope.get_variable("params", "kernel")
+        if k is not None and k.dtype == jnp.int8 and k.ndim == 2:
+            scale = m.scope.get_variable("quant", "scale")
+            x = args[0]
+            y = _int8_matmul(x, k, scale)
+            if m.use_bias:
+                bias = m.scope.get_variable("params", "bias")
+                y = y + bias.astype(jnp.float32)
+            out_dtype = m.dtype or x.dtype
+            return y.astype(out_dtype)
+    return next_fun(*args, **kwargs)
+
+
+def apply_int8(model, variables_int8, *args, **kwargs):
+    """model.apply with the int8 interceptor active (variables must come from
+    convert_params_int8)."""
+    with nn.intercept_methods(int8_interceptor):
+        return model.apply(variables_int8, *args, **kwargs)
+
+
+def count_int8(variables_int8) -> Tuple[int, int]:
+    """(quantized kernels, total kernel leaves) — for reporting."""
+    flat = traverse_util.flatten_dict(variables_int8["params"], sep="/")
+    kern = [k for k in flat if k.endswith("/kernel")]
+    q = [k for k in kern if np.asarray(flat[k]).dtype == np.int8]
+    return len(q), len(kern)

@@ -31,3 +31,32 @@ class JAXModel(BaseServing):
     def _predict(self, images: np.ndarray) -> Dict[str, np.ndarray]:
         decoded = self._infer(self.variables, jnp.asarray(images))
         return jax.tree.map(np.asarray, decoded)
+
+
+class Int8Model(JAXModel):
+    """INT8 serving backend — the reference's OpenVINO-INT8 engine analog
+    (src/infer + ov_int8.py), but executing REAL int8 dot_generals on the MXU
+    (see dfine_tpu/infer/int8.py).  Same uniform __call__ contract."""
+
+    def _load_variables(self, model_path):
+        from .int8 import convert_params_int8
+
+        v = super()._load_variables(model_path)
+        return jax.tree.map(
+            jnp.asarray, convert_params_int8(jax.tree.map(np.asarray, v))
+        )
+
+    def _build(self) -> None:
+        from .int8 import apply_int8
+
+        model = self.model
+        k = self.num_top_queries
+
+        @jax.jit
+        def infer(variables, images):
+            out = apply_int8(model, variables, images, train=False)
+            return topk_decode(
+                out["pred_logits"], out["pred_boxes"], k, masks=out.get("pred_masks")
+            )
+
+        self._infer = infer

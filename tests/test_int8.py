@@ -1,0 +1,88 @@
+"""True-int8 serving path (dfine_tpu/infer/int8.py) — the reference's
+OpenVINO-NNCF int8 engine analog (src/dl/ov_int8.py:130-139)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from dfine_tpu.infer.int8 import (
+    _int8_matmul,
+    apply_int8,
+    convert_params_int8,
+    count_int8,
+)
+
+
+def test_int8_matmul_accuracy():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 64)).astype(np.float32)
+    w = (rng.normal(size=(64, 32)) * 0.05).astype(np.float32)
+    s = np.abs(w).max(0, keepdims=True) / 127.0
+    q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+    y = np.asarray(_int8_matmul(jnp.asarray(x), jnp.asarray(q), jnp.asarray(s[0])))
+    ref = x @ w
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 0.02
+
+
+def test_compiled_program_contains_int8_dot():
+    """The serving graph must execute a REAL i8 x i8 -> i32 dot_general —
+    not fake-quant (the r1 weakness this path replaces)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
+    m = nn.Dense(32)
+    v = m.init(jax.random.key(0), x)
+    v8 = jax.tree.map(jnp.asarray, convert_params_int8(jax.tree.map(np.asarray, v)))
+    txt = jax.jit(lambda v, x: apply_int8(m, v, x)).lower(v8, x).as_text()
+    assert any(
+        "dot_general" in ln and "i8>" in ln and "i32>" in ln
+        for ln in txt.splitlines()
+    ), "no int8 dot_general in the lowered program"
+    y8 = np.asarray(apply_int8(m, v8, x))
+    yf = np.asarray(m.apply(v, x))
+    assert np.abs(y8 - yf).max() / np.abs(yf).max() < 0.02
+
+
+def test_convert_targets_dense_only_and_is_idempotent():
+    from dfine_tpu.models import build_model
+
+    model = build_model("n", num_classes=3, enable_mask_head=False)
+    x = jnp.zeros((1, 160, 160, 3), jnp.float32)
+    v = model.init({"params": jax.random.key(0)}, x, train=False)
+    v8 = convert_params_int8(jax.tree.map(np.asarray, v))
+    nq, nk = count_int8(v8)
+    assert 0 < nq < nk  # Dense kernels quantized, conv kernels untouched
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(v8["params"], sep="/")
+    for k, a in flat.items():
+        if k.endswith("/kernel") and np.asarray(a).ndim == 4:
+            assert np.asarray(a).dtype != np.int8  # convs stay fp
+    # re-converting converted variables must be a no-op (export_int8.npz load)
+    assert convert_params_int8(v8) is v8
+
+
+@pytest.mark.slow
+def test_int8_full_model_forward_runs():
+    from dfine_tpu.models import build_model
+    from dfine_tpu.postprocess import topk_decode
+
+    model = build_model("n", num_classes=3, enable_mask_head=False)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(1, 320, 320, 3)).astype(np.float32)
+    )
+    v = model.init({"params": jax.random.key(0)}, x, train=False)
+    v8 = jax.tree.map(jnp.asarray, convert_params_int8(jax.tree.map(np.asarray, v)))
+
+    @jax.jit
+    def infer(v, x):
+        out = apply_int8(model, v, x, train=False)
+        return topk_decode(out["pred_logits"], out["pred_boxes"], 300)
+
+    dec = infer(v8, x)
+    for leaf in jax.tree.leaves(dec):
+        assert np.isfinite(np.asarray(leaf, np.float32)).all()
+    b = np.asarray(dec["boxes"])
+    assert (b >= -1e-5).all() and (b <= 1 + 1e-5).all()
