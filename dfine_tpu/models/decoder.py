@@ -116,12 +116,24 @@ class MSDeformableAttention(nn.Module):
         off = offsets * np_scale[:, None] * ref[:, :, None, None, 2:] * self.offset_scale
         loc = ref[:, :, None, None, :2] + off  # [B,Q,H,P,2]
         # Kernel choice (measured, v5e, m@640 bs8): XLA autodiff's native
-        # scatter-add for the value gradient takes ~103 ms/step; the Pallas
-        # one-hot-matmul alternative (ms_deform_attn_core_fused) was built,
-        # verified grad-exact, and measured SLOWER (255-366 ms fwd+bwd vs
-        # 213.5) because the dense reformulation does O(HW*N) MXU work.
-        # XLA's gather/scatter pair is the right implementation here.
-        out = ms_deform_attn_core(value, spatial_shapes, loc, attn, self.num_points_list)
+        # scatter-add for the value gradient takes ~103 ms/step (serialized
+        # duplicate-index scatter).  r1's Pallas one-hot-matmul lost (255-366
+        # ms fwd+bwd vs 213.5: O(HW*N) MXU work).  r2's sort+cumsum+binary-
+        # search segment-sum (sorted_segment_scatter) is the production
+        # backward; the switch (set_deform_bwd) keeps all three selectable
+        # for measurement.  Forward math is identical in every case.
+        from ..ops.deform_attn import deform_bwd_impl
+
+        impl = deform_bwd_impl()
+        if impl == "xla":
+            out = ms_deform_attn_core(
+                value, spatial_shapes, loc, attn, self.num_points_list
+            )
+        else:
+            out = ms_deform_attn_core_fused(
+                value, spatial_shapes, loc, attn, self.num_points_list,
+                scatter_impl=impl,
+            )
         return out.astype(query.dtype)
 
 

@@ -144,6 +144,25 @@ def sorted_segment_scatter(
     return jax.vmap(one)(idx, contrib).astype(contrib.dtype)
 
 
+# Backward-implementation switch for MSDeformableAttention, read at TRACE
+# time (like models.layers.set_bn_axis): "xla" = plain autodiff (serialized
+# scatter-add for the value grad), "sorted" = custom VJP with the parallel
+# segment-sum above, "pallas" = r1 one-hot-matmul kernel (kept for
+# comparison).  The trainer flips this after measurement; serving paths
+# never differentiate so they are unaffected.
+_DEFORM_BWD = "sorted"
+
+
+def set_deform_bwd(impl: str) -> None:
+    global _DEFORM_BWD
+    assert impl in ("xla", "sorted", "pallas"), impl
+    _DEFORM_BWD = impl
+
+
+def deform_bwd_impl() -> str:
+    return _DEFORM_BWD
+
+
 def _corner_tables():
     return (
         (0, 0, lambda fx, fy: (1 - fx) * (1 - fy), lambda fx, fy: -(1 - fy), lambda fx, fy: -(1 - fx)),

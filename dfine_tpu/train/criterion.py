@@ -166,9 +166,12 @@ def fgl_targets(outputs, tgt, go_q, go_t, cfg: CriterionConfig):
     return t_bins.reshape(b, k, 4), w_r.reshape(b, k, 4), w_l.reshape(b, k, 4)
 
 
-def loss_fgl(outputs, tgt, go_q, go_t, go_valid, num_boxes, cfg: CriterionConfig, cache):
+def loss_fgl(outputs, tgt, go_q, go_t, go_valid, num_boxes, cfg: CriterionConfig, cache,
+             pair_iou=None):
     """Unimodal distribution focal loss over corner bins, IoU-weighted
-    (reference dfine_criterion.py:145-192, 638-659)."""
+    (reference dfine_criterion.py:145-192, 638-659).  ``pair_iou`` lets the
+    caller share the matched-pair IoU with loss_ddf (same pairs, same
+    boxes)."""
     t_bins, w_r, w_l = cache
     corners = _gather_bk(outputs["pred_corners"].astype(jnp.float32), go_q)
     b, k = go_q.shape
@@ -179,15 +182,32 @@ def loss_fgl(outputs, tgt, go_q, go_t, go_valid, num_boxes, cfg: CriterionConfig
     ce_l = -jnp.take_along_axis(logp, left[..., None], axis=-1)[..., 0]
     ce_r = -jnp.take_along_axis(logp, jnp.clip(right, 0, cfg.reg_max)[..., None], axis=-1)[..., 0]
     loss = ce_l * w_l + ce_r * w_r  # [B,K,4]
-    iou = jax.lax.stop_gradient(_pair_iou(outputs["pred_boxes"], go_q, tgt["boxes"], go_t))
+    if pair_iou is None:
+        pair_iou = _pair_iou(outputs["pred_boxes"], go_q, tgt["boxes"], go_t)
+    iou = jax.lax.stop_gradient(pair_iou)
     loss = loss * iou[..., None] * go_valid[..., None].astype(jnp.float32)
     return {"loss_fgl": loss.sum() / num_boxes}
 
 
+def ddf_teacher_cache(teacher_corners, teacher_logits, cfg: CriterionConfig):
+    """Teacher-side DDF terms shared by every student layer: tempered corner
+    distribution + its log, and the per-query max class prob.  The reference
+    recomputes these per aux layer (dfine_criterion.py:203-218); they depend
+    only on the (fixed) final layer, so compute once."""
+    T = cfg.ddf_temperature
+    b, q = teacher_logits.shape[:2]
+    teach = jax.lax.stop_gradient(
+        teacher_corners.astype(jnp.float32).reshape(b, q, 4, cfg.reg_max + 1)
+    )
+    t_prob = jax.nn.softmax(teach / T, axis=-1)
+    t_log = jnp.log(jnp.clip(t_prob, 1e-12, None))
+    w_base = jnp.max(jax.nn.sigmoid(teacher_logits.astype(jnp.float32)), axis=-1)
+    return t_prob, t_log, jax.lax.stop_gradient(w_base)
+
+
 def loss_ddf(
     outputs,
-    teacher_corners,
-    teacher_logits,
+    teacher_cache,
     tgt,
     go_q,
     go_t,
@@ -195,28 +215,28 @@ def loss_ddf(
     num_pos,
     num_neg,
     cfg: CriterionConfig,
+    pair_iou=None,
 ):
     """Decoupled distillation focal loss: KL of corner distributions from the
-    final layer into an earlier layer (reference dfine_criterion.py:194-236)."""
+    final layer into an earlier layer (reference dfine_criterion.py:194-236).
+    ``teacher_cache`` comes from ddf_teacher_cache; ``pair_iou`` shares the
+    matched-pair IoU with loss_fgl."""
     T = cfg.ddf_temperature
+    t_prob, t_log, w_base = teacher_cache
     b, q = outputs["pred_logits"].shape[:2]
     pred = outputs["pred_corners"].astype(jnp.float32).reshape(b, q, 4, cfg.reg_max + 1)
-    teach = jax.lax.stop_gradient(
-        teacher_corners.astype(jnp.float32).reshape(b, q, 4, cfg.reg_max + 1)
-    )
 
     # per-query weight: max teacher class prob; matched positions get pair IoU
-    w = jnp.max(jax.nn.sigmoid(teacher_logits.astype(jnp.float32)), axis=-1)  # [B,Q]
-    iou = _pair_iou(outputs["pred_boxes"], go_q, tgt["boxes"], go_t)
+    if pair_iou is None:
+        pair_iou = _pair_iou(outputs["pred_boxes"], go_q, tgt["boxes"], go_t)
+    iou = pair_iou
     b_ar = jnp.arange(b)[:, None]
     safe_q = jnp.where(go_valid, go_q, q)
-    w = w.at[b_ar, safe_q].set(jnp.where(go_valid, iou, 0.0), mode="drop")
+    w = w_base.at[b_ar, safe_q].set(jnp.where(go_valid, iou, 0.0), mode="drop")
     w = jax.lax.stop_gradient(w)
     mask = jnp.zeros((b, q), bool).at[b_ar, safe_q].set(go_valid, mode="drop")
 
     p_log = jax.nn.log_softmax(pred / T, axis=-1)
-    t_prob = jax.nn.softmax(teach / T, axis=-1)
-    t_log = jnp.log(jnp.clip(t_prob, 1e-12, None))
     kl = (t_prob * (t_log - p_log)).sum(-1)  # [B,Q,4]
     loss = w[..., None] * (T**2) * kl
 
@@ -337,6 +357,12 @@ def criterion_forward(
 
     fgl_cache = fgl_targets(outputs, targets, go_q, go_t, cfg) if "local" in use else None
 
+    ddf_cache = (
+        ddf_teacher_cache(teacher_c, teacher_l, cfg)
+        if ("local" in use and teacher_c is not None)
+        else None
+    )
+
     def branch_losses(out_set, m_set, suffix, with_local: bool, with_ddf: bool, with_masks: bool):
         d = {}
         if "vfl" in use:
@@ -346,11 +372,14 @@ def criterion_forward(
         if "boxes" in use:
             d.update(loss_boxes(out_set, targets, go_q, go_t, go_valid, num_boxes_go, cfg))
         if "local" in use and with_local and "pred_corners" in out_set:
-            d.update(loss_fgl(out_set, targets, go_q, go_t, go_valid, num_boxes_go, cfg, fgl_cache))
+            # fgl and ddf share the identical matched-pair IoU
+            iou = _pair_iou(out_set["pred_boxes"], go_q, targets["boxes"], go_t)
+            d.update(loss_fgl(out_set, targets, go_q, go_t, go_valid, num_boxes_go, cfg,
+                              fgl_cache, pair_iou=iou))
             if with_ddf:
                 d.update(
-                    loss_ddf(out_set, teacher_c, teacher_l, targets, go_q, go_t, go_valid,
-                             num_pos, num_neg, cfg)
+                    loss_ddf(out_set, ddf_cache, targets, go_q, go_t, go_valid,
+                             num_pos, num_neg, cfg, pair_iou=iou)
                 )
         if "masks" in use and with_masks:
             d.update(loss_masks(out_set, targets, m_set, valid, cfg))
@@ -387,8 +416,11 @@ def criterion_forward(
         dn_q, dn_t, dn_pair_valid = dn_match_indices(valid, n_group)
         dn_num_boxes = num_boxes * n_group
         dn_sets = outputs["dn_outputs"]
-        dn_teacher_c = dn_sets[-1]["pred_corners"]
-        dn_teacher_l = dn_sets[-1]["pred_logits"]
+        dn_ddf_cache = (
+            ddf_teacher_cache(dn_sets[-1]["pred_corners"], dn_sets[-1]["pred_logits"], cfg)
+            if "local" in use and "pred_corners" in dn_sets[-1]
+            else None
+        )
         dn_fgl_cache = None
         if "local" in use:
             ref = jax.lax.stop_gradient(
@@ -424,12 +456,14 @@ def criterion_forward(
                 )
                 d["loss_giou"] = (giou * mm).sum() / dn_num_boxes
             if "local" in use and "pred_corners" in dn:
+                iou_dn = _pair_iou(dn["pred_boxes"], dn_q, targets["boxes"], dn_t)
                 d.update(
-                    loss_fgl(dn, targets, dn_q, dn_t, dn_pair_valid, dn_num_boxes, cfg, dn_fgl_cache)
+                    loss_fgl(dn, targets, dn_q, dn_t, dn_pair_valid, dn_num_boxes, cfg,
+                             dn_fgl_cache, pair_iou=iou_dn)
                 )
                 d.update(
-                    loss_ddf(dn, dn_teacher_c, dn_teacher_l, targets, dn_q, dn_t,
-                             dn_pair_valid, num_pos, num_neg, cfg)
+                    loss_ddf(dn, dn_ddf_cache, targets, dn_q, dn_t,
+                             dn_pair_valid, num_pos, num_neg, cfg, pair_iou=iou_dn)
                 )
             if has_dn_masks:
                 d.update(loss_masks(dn, targets, dn_q, dn_pair_valid, cfg, tgt_idx=dn_t))

@@ -39,7 +39,9 @@ def _import_into_ours(size, num_classes, ref_model, img_hw, mask_head=False):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("size,img", [("n", 320), ("s", 320), ("m", 320)])
+@pytest.mark.parametrize(
+    "size,img", [("n", 320), ("s", 320), ("m", 320), ("l", 320), ("x", 320)]
+)
 def test_eval_forward_parity(size, img):
     import torch
 

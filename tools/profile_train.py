@@ -1,0 +1,150 @@
+"""Train-step component profiler (TPU).
+
+Measures the D-FINE train step at production shapes and its ablations so
+perf work is always against numbers, not guesses (NOTES.md keeps the
+history).  Run on the real chip:
+
+    python tools/profile_train.py [--size m] [--img 640] [--bs 8] [--gt 100]
+        [--what full|fwdbwd|criterion|optim] [--bwd xla|sorted|pallas]
+
+Each measurement loops >= 10 steps between block_until_ready calls and
+reports the per-step mean of the best half (tunnel jitter mitigation).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def timed(fn, *args, iters=10, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    best = times[: max(1, len(times) // 2)]
+    return float(np.mean(best) * 1000.0)
+
+
+def make_batch(bs, img, gt, num_classes, seed=0):
+    rng = np.random.default_rng(seed)
+    images = jnp.asarray(rng.uniform(size=(bs, img, img, 3)).astype(np.float32))
+    boxes = rng.uniform(0.2, 0.8, size=(bs, gt, 4)).astype(np.float32)
+    boxes[..., 2:] = np.clip(boxes[..., 2:] * 0.3, 0.05, 0.4)
+    targets = {
+        "labels": jnp.asarray(rng.integers(0, num_classes, size=(bs, gt)), jnp.int32),
+        "boxes": jnp.asarray(boxes),
+        "valid": jnp.asarray(np.tile(np.arange(gt)[None] < gt // 2, (bs, 1))),
+    }
+    return {"images": images, "targets": targets}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="m")
+    ap.add_argument("--img", type=int, default=640)
+    ap.add_argument("--bs", type=int, default=8)
+    ap.add_argument("--gt", type=int, default=100)
+    ap.add_argument("--classes", type=int, default=80)
+    ap.add_argument("--what", default="full",
+                    choices=["full", "fwdbwd", "criterion", "optim"])
+    ap.add_argument("--bwd", default="sorted", choices=["xla", "sorted", "pallas"])
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    from dfine_tpu.models import build_model
+    from dfine_tpu.ops.deform_attn import set_deform_bwd
+    from dfine_tpu.train.criterion import CriterionConfig, criterion_forward
+    from dfine_tpu.train.optim import OptimConfig, build_optimizer
+    from dfine_tpu.train.train_step import TrainState, make_train_step
+
+    set_deform_bwd(args.bwd)
+    model = build_model(args.size, args.classes, enable_mask_head=False,
+                        dtype=jnp.bfloat16)
+    batch = make_batch(args.bs, args.img, args.gt, args.classes)
+    crit = CriterionConfig(num_classes=args.classes)
+
+    variables = model.init(
+        {"params": jax.random.key(0), "dn": jax.random.key(1)},
+        batch["images"][:1], jax.tree.map(lambda x: x[:1], batch["targets"]),
+        train=True,
+    )
+    tx = build_optimizer(variables["params"], OptimConfig(steps_per_epoch=100, epochs=10))
+
+    if args.what == "full":
+        state = TrainState.create(variables, tx)
+        step = jax.jit(make_train_step(model, tx, crit), donate_argnums=(0,))
+
+        def run(state, batch, key):
+            s, m = step(state, batch, key)
+            return s, m
+
+        # donation: rebuild state each call is wrong; loop manually
+        for _ in range(2):
+            state, m = step(state, batch, jax.random.key(2))
+        jax.block_until_ready(m)
+        times = []
+        for i in range(args.iters):
+            t0 = time.perf_counter()
+            state, m = step(state, batch, jax.random.key(3 + i))
+            jax.block_until_ready(m)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        ms = float(np.mean(times[: max(1, len(times) // 2)]) * 1000.0)
+        print(f"full train step ({args.size}@{args.img} bs{args.bs} gt{args.gt}, "
+              f"bwd={args.bwd}): {ms:.1f} ms -> {args.bs / ms * 1000:.1f} img/s")
+    elif args.what == "fwdbwd":
+        def loss_fn(params, bs_, batch, key):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": bs_}, batch["images"],
+                batch["targets"], train=True, rngs={"dn": key},
+                mutable=["batch_stats"],
+            )
+            # trivial loss: every output leaf contributes
+            return sum(jnp.sum(v.astype(jnp.float32) ** 2)
+                       for v in jax.tree.leaves(out))
+
+        g = jax.jit(jax.grad(loss_fn))
+        ms = timed(g, variables["params"], variables.get("batch_stats", {}),
+                   batch, jax.random.key(2), iters=args.iters)
+        print(f"model fwd+bwd trivial-loss (bwd={args.bwd}): {ms:.1f} ms")
+    elif args.what == "criterion":
+        out, _ = model.apply(
+            variables, batch["images"], batch["targets"], train=True,
+            rngs={"dn": jax.random.key(2)}, mutable=["batch_stats"],
+        )
+        out = jax.tree.map(jax.lax.stop_gradient, out)
+
+        def crit_loss(out, targets):
+            return criterion_forward(out, targets, crit)["total"]
+
+        g = jax.jit(jax.grad(crit_loss))
+        ms = timed(g, out, batch["targets"], iters=args.iters)
+        print(f"criterion fwd+bwd (incl. Hungarian): {ms:.1f} ms")
+    elif args.what == "optim":
+        grads = jax.tree.map(lambda p: jnp.ones_like(p) * 1e-3, variables["params"])
+        state = tx.init(variables["params"])
+
+        @jax.jit
+        def step(grads, state, params):
+            import optax
+
+            ups, st = tx.update(grads, state, params)
+            return optax.apply_updates(params, ups), st
+
+        ms = timed(step, grads, state, variables["params"], iters=args.iters)
+        print(f"optimizer update+apply: {ms:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
