@@ -99,23 +99,51 @@ def measure(infer, variables, raw_np, iters=50):
     return float(np.median(times) * 1000.0)
 
 
+def _measure_int8_subprocess() -> float:
+    """Measure the int8 config in a FRESH process: on this dev runtime a
+    program with int8-typed parameters flips the whole session into a
+    degraded sync-dispatch mode (~35 ms/call for every subsequent program
+    too — see NOTES.md / tools/bisect_int8.py), so it must never share a
+    process with the det/seg measurements."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--int8-only"],
+        capture_output=True, text=True, timeout=1800,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("INT8_MS="):
+            return float(line.split("=", 1)[1])
+    raise RuntimeError(f"int8 subprocess failed: {proc.stderr[-1500:]}")
+
+
 def main():
+    import sys
+
     raw_np = np.random.default_rng(0).integers(
         0, 255, size=(1, 720, 1280, 3), dtype=np.uint8
     )
+
+    if "--int8-only" in sys.argv:
+        infer_i8, var_i8 = build(enable_masks=False, int8=True)
+        print(f"INT8_MS={measure(infer_i8, var_i8, raw_np):.3f}")
+        return
 
     infer_det, var_det = build(enable_masks=False)
     det_p50 = measure(infer_det, var_det, raw_np)
     del infer_det, var_det
 
-    int8_p50 = None
-    if os.environ.get("DFINE_BENCH_INT8", "1") != "0":
-        infer_i8, var_i8 = build(enable_masks=False, int8=True)
-        int8_p50 = measure(infer_i8, var_i8, raw_np)
-        del infer_i8, var_i8
-
     infer_seg, var_seg = build(enable_masks=True)
     seg_p50 = measure(infer_seg, var_seg, raw_np)
+
+    int8_p50 = None
+    if os.environ.get("DFINE_BENCH_INT8", "1") != "0":
+        try:
+            int8_p50 = _measure_int8_subprocess()
+        except Exception:
+            int8_p50 = None
 
     baseline_ms = 5.5  # TensorRT FP16 / RTX 5070 Ti, det+seg e2e (BASELINE.md)
     row = {

@@ -57,17 +57,46 @@ def convert_params_int8(variables: Dict[str, Any]) -> Dict[str, Any]:
     return res
 
 
+# Compute mode, read at TRACE time:
+# * "w8a8"  — dynamic per-row activation quant, int8 x int8 -> int32 MXU dot.
+#   The numerically-quantized path; int8 microbenchmarks run 1.35x faster
+#   than bf16 on v5e, BUT on the axon dev runtime a large program containing
+#   int8 dots flips the session into a degraded sync-dispatch mode (~35 ms
+#   per call afterwards, measured tools/bisect_int8.py).  Default on
+#   standard Cloud TPU runtimes.
+# * "w8a16" — weights stay int8 in HBM (half the weight traffic), dequantized
+#   to bf16 in-register before a bf16 dot.  Same int8 information content
+#   (the F1 gate sees identical weights), avoids the axon quirk.
+_INT8_MODE = "w8a16"
+
+
+def set_int8_mode(mode: str) -> None:
+    global _INT8_MODE
+    assert mode in ("w8a8", "w8a16"), mode
+    _INT8_MODE = mode
+
+
 def _int8_matmul(x: jnp.ndarray, kq: jnp.ndarray, w_scale: jnp.ndarray) -> jnp.ndarray:
-    """y = dequant(int8(x) @ kq) with dynamic per-row activation scales."""
-    xf = x.astype(jnp.float32)
-    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6) / 127.0
-    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    """y = x @ dequant(kq), executed per _INT8_MODE."""
+    if _INT8_MODE == "w8a8":
+        xf = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6) / 127.0
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq, kq,
+            (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return y.astype(jnp.float32) * sx * w_scale.astype(jnp.float32)
+    # w8a16: int8 weights dequantized to bf16 right before the dot — XLA
+    # fuses the convert+scale into the matmul read
+    k_bf = kq.astype(jnp.bfloat16) * w_scale.astype(jnp.bfloat16)
     y = jax.lax.dot_general(
-        xq, kq,
-        (((xq.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
+        x.astype(jnp.bfloat16), k_bf,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    return y.astype(jnp.float32) * sx * w_scale.astype(jnp.float32)
+    return y
 
 
 def int8_interceptor(next_fun, args, kwargs, context):

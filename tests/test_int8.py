@@ -28,21 +28,33 @@ def test_int8_matmul_accuracy():
 
 
 def test_compiled_program_contains_int8_dot():
-    """The serving graph must execute a REAL i8 x i8 -> i32 dot_general —
-    not fake-quant (the r1 weakness this path replaces)."""
+    """In w8a8 mode the serving graph must execute a REAL i8 x i8 -> i32
+    dot_general — not fake-quant (the r1 weakness this path replaces)."""
+    from dfine_tpu.infer.int8 import set_int8_mode
+
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
     m = nn.Dense(32)
     v = m.init(jax.random.key(0), x)
     v8 = jax.tree.map(jnp.asarray, convert_params_int8(jax.tree.map(np.asarray, v)))
-    txt = jax.jit(lambda v, x: apply_int8(m, v, x)).lower(v8, x).as_text()
-    assert any(
-        "dot_general" in ln and "i8>" in ln and "i32>" in ln
-        for ln in txt.splitlines()
-    ), "no int8 dot_general in the lowered program"
-    y8 = np.asarray(apply_int8(m, v8, x))
+    set_int8_mode("w8a8")
+    try:
+        txt = jax.jit(lambda v, x: apply_int8(m, v, x)).lower(v8, x).as_text()
+        assert any(
+            "dot_general" in ln and "i8>" in ln and "i32>" in ln
+            for ln in txt.splitlines()
+        ), "no int8 dot_general in the lowered program"
+        y8 = np.asarray(apply_int8(m, v8, x))
+    finally:
+        set_int8_mode("w8a16")
     yf = np.asarray(m.apply(v, x))
     assert np.abs(y8 - yf).max() / np.abs(yf).max() < 0.02
+    # w8a16 (default on this runtime — see NOTES.md): int8 HBM storage,
+    # dequant fused into a bf16 dot; same quantized weights
+    txt16 = jax.jit(lambda v, x: apply_int8(m, v, x)).lower(v8, x).as_text()
+    assert any("i8>" in ln and "convert" in ln for ln in txt16.splitlines())
+    y16 = np.asarray(apply_int8(m, v8, x))
+    assert np.abs(y16 - yf).max() / np.abs(yf).max() < 0.02
 
 
 def test_convert_targets_dense_only_and_is_idempotent():
