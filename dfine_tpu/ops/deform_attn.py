@@ -148,9 +148,11 @@ def sorted_segment_scatter(
 # time (like models.layers.set_bn_axis): "xla" = plain autodiff (serialized
 # scatter-add for the value grad), "sorted" = custom VJP with the parallel
 # segment-sum above, "pallas" = r1 one-hot-matmul kernel (kept for
-# comparison).  The trainer flips this after measurement; serving paths
-# never differentiate so they are unaffected.
-_DEFORM_BWD = "sorted"
+# comparison).  Measured on v5e (m@640 bs8 full step, tools/profile_train):
+# xla 364.7 ms, sorted 1204.9 ms — the sort+cumsum+searchsorted pipeline
+# moves ~20x the scatter's bytes through HBM, so XLA's serialized scatter
+# REMAINS the production backward (third measured attempt; see NOTES.md).
+_DEFORM_BWD = "xla"
 
 
 def set_deform_bwd(impl: str) -> None:
