@@ -157,7 +157,7 @@ _DEFORM_BWD = "xla"
 
 def set_deform_bwd(impl: str) -> None:
     global _DEFORM_BWD
-    assert impl in ("xla", "sorted", "pallas"), impl
+    assert impl in ("xla", "sorted", "pallas", "window"), impl
     _DEFORM_BWD = impl
 
 
@@ -172,6 +172,35 @@ def _corner_tables():
         (1, 0, lambda fx, fy: (1 - fx) * fy, lambda fx, fy: -fy, lambda fx, fy: (1 - fx)),
         (1, 1, lambda fx, fy: fx * fy, lambda fx, fy: fy, lambda fx, fy: fx),
     )
+
+
+def window_scatter_add(
+    starts_y: jnp.ndarray,  # [R, N] int32 in [0, h-2]
+    starts_x: jnp.ndarray,  # [R, N] int32 in [0, w-2]
+    updates: jnp.ndarray,  # [R, N, 2, 2, D]
+    h: int,
+    w: int,
+) -> jnp.ndarray:
+    """Scatter-add of [2,2,D] windows — the 4 bilinear corners of a sampling
+    point form one contiguous 2x2 patch, so ONE window update replaces FOUR
+    row updates (4x fewer scatter ops than the row form).  Window starts are
+    pre-clamped so no update is ever dropped by XLA's out-of-bounds rule;
+    contributions of invalid (out-of-image) corners are zeroed by the
+    caller.  Returns [R, h, w, D]."""
+    d = updates.shape[-1]
+    idx = jnp.stack([starts_y, starts_x], -1)  # [R, N, 2]
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1),
+    )
+
+    def one(op_idx, upd):
+        return jax.lax.scatter_add(
+            jnp.zeros((h, w, d), jnp.float32), op_idx, upd, dnums
+        )
+
+    return jax.vmap(one)(idx, updates)
 
 
 def ms_deform_attn_core_fused(
@@ -212,6 +241,8 @@ def ms_deform_attn_core_fused(
             from .pallas import rows_scatter_add
 
             scatter = lambda i, c, hw: rows_scatter_add(i, c, hw, interpret=interpret)
+        elif scatter_impl == "window":
+            scatter = None  # handled inline (2x2 window form)
         else:
             scatter = sorted_segment_scatter
 
@@ -247,6 +278,10 @@ def ms_deform_attn_core_fused(
             gfx = jnp.zeros(a.shape, f32)
             gfy = jnp.zeros(a.shape, f32)
             idx_parts, contrib_parts = [], []
+            if scatter_impl == "window":
+                sy = jnp.clip(y0i, 0, h - 2)  # [B,Q,H,P] window starts
+                sx = jnp.clip(x0i, 0, w - 2)
+                win = jnp.zeros((b, q, nhead, p, 2, 2, d), f32)
             for dy, dx, w_fn, dwdx_fn, dwdy_fn in _corner_tables():
                 xi = x0i + dx
                 yi = y0i + dy
@@ -265,21 +300,43 @@ def ms_deform_attn_core_fused(
                 # value-grad contributions
                 coeff = (a * wgt)[..., None]  # [B,Q,H,P,1]
                 contrib = coeff * g[:, :, :, None, :]  # [B,Q,H,P,D]
-                idx_eff = jnp.where(valid, idx, -1)
-                idx_parts.append(idx_eff.transpose(0, 2, 1, 3).reshape(b * nhead, q * p))
-                contrib_parts.append(
-                    contrib.transpose(0, 2, 1, 3, 4).reshape(b * nhead, q * p, d)
-                )
+                if scatter_impl == "window":
+                    # place this corner into its slot of the 2x2 window
+                    oy = yi - sy  # in {0,1} for in-image corners
+                    ox = xi - sx
+                    for i in (0, 1):
+                        for j in (0, 1):
+                            sel = ((oy == i) & (ox == j) & valid)[..., None]
+                            win = win.at[..., i, j, :].add(
+                                jnp.where(sel, contrib, 0.0)
+                            )
+                else:
+                    idx_eff = jnp.where(valid, idx, -1)
+                    idx_parts.append(
+                        idx_eff.transpose(0, 2, 1, 3).reshape(b * nhead, q * p)
+                    )
+                    contrib_parts.append(
+                        contrib.transpose(0, 2, 1, 3, 4).reshape(b * nhead, q * p, d)
+                    )
             grad_att = grad_att.at[:, :, :, p_start : p_start + p].set(ga_l)
             gu = a * gfx * w  # d x / d u = W
             gv_ = a * gfy * h
             grad_loc = grad_loc.at[:, :, :, p_start : p_start + p, :].set(
                 jnp.stack([gu, gv_], -1)
             )
-            idx_all = jnp.concatenate(idx_parts, axis=1)  # [BH, Q*P*4]
-            contrib_all = jnp.concatenate(contrib_parts, axis=1)
-            gv_level = scatter(idx_all, contrib_all, hw)
-            gv_level = gv_level.reshape(b, nhead, hw, d).transpose(0, 2, 1, 3)
+            if scatter_impl == "window":
+                sy_t = sy.transpose(0, 2, 1, 3).reshape(b * nhead, q * p)
+                sx_t = sx.transpose(0, 2, 1, 3).reshape(b * nhead, q * p)
+                win_t = win.transpose(0, 2, 1, 3, 4, 5, 6).reshape(
+                    b * nhead, q * p, 2, 2, d
+                )
+                gv_level = window_scatter_add(sy_t, sx_t, win_t, h, w)
+                gv_level = gv_level.reshape(b, nhead, hw, d).transpose(0, 2, 1, 3)
+            else:
+                idx_all = jnp.concatenate(idx_parts, axis=1)  # [BH, Q*P*4]
+                contrib_all = jnp.concatenate(contrib_parts, axis=1)
+                gv_level = scatter(idx_all, contrib_all, hw)
+                gv_level = gv_level.reshape(b, nhead, hw, d).transpose(0, 2, 1, 3)
             grad_val_parts.append(gv_level)
             hw_start += hw
             p_start += p

@@ -74,10 +74,11 @@ def test_sorted_segment_scatter_matches_dense():
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-5)
 
 
-def test_fused_sorted_grads_match_autodiff():
-    """The production train path uses the custom VJP with the sorted
-    segment-sum value gradient; it must match XLA autodiff on all three
-    inputs including out-of-bounds sampling locations."""
+@pytest.mark.parametrize("impl", ["sorted", "window"])
+def test_fused_grads_match_autodiff(impl):
+    """Every selectable custom-VJP backward (sorted segment-sum, 2x2-window
+    scatter) must match XLA autodiff on all three inputs including
+    out-of-bounds sampling locations."""
     from dfine_tpu.ops.deform_attn import (
         ms_deform_attn_core,
         ms_deform_attn_core_fused,
@@ -98,7 +99,9 @@ def test_fused_sorted_grads_match_autodiff():
         argnums=(0, 1, 2),
     ))(value, loc, att)
     g_f = jax.jit(jax.grad(
-        lambda v, l, a: (ms_deform_attn_core_fused(v, shapes, l, a, pts) ** 2).sum(),
+        lambda v, l, a: (
+            ms_deform_attn_core_fused(v, shapes, l, a, pts, scatter_impl=impl) ** 2
+        ).sum(),
         argnums=(0, 1, 2),
     ))(value, loc, att)
     for a, b in zip(g_ref, g_f):

@@ -60,7 +60,7 @@ def main():
     ap.add_argument("--gt", type=int, default=100)
     ap.add_argument("--classes", type=int, default=80)
     ap.add_argument("--what", default="full",
-                    choices=["full", "fwdbwd", "criterion", "optim"])
+                    choices=["full", "fwdbwd", "fwdbwd_crit", "criterion", "optim"])
     ap.add_argument("--bwd", default="sorted", choices=["xla", "sorted", "pallas"])
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
@@ -113,26 +113,52 @@ def main():
                 batch["targets"], train=True, rngs={"dn": key},
                 mutable=["batch_stats"],
             )
-            # trivial loss: every output leaf contributes
-            return sum(jnp.sum(v.astype(jnp.float32) ** 2)
-                       for v in jax.tree.leaves(out))
+            # trivial loss: every float output leaf contributes
+            return sum(
+                jnp.sum(v.astype(jnp.float32) ** 2)
+                for v in jax.tree.leaves(out)
+                if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.inexact)
+            )
 
         g = jax.jit(jax.grad(loss_fn))
         ms = timed(g, variables["params"], variables.get("batch_stats", {}),
                    batch, jax.random.key(2), iters=args.iters)
         print(f"model fwd+bwd trivial-loss (bwd={args.bwd}): {ms:.1f} ms")
+    elif args.what == "fwdbwd_crit":
+        # the true training gradient: model + criterion (no optimizer/EMA)
+        def loss_fn(params, bs_, batch, key):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": bs_}, batch["images"],
+                batch["targets"], train=True, rngs={"dn": key},
+                mutable=["batch_stats"],
+            )
+            return criterion_forward(out, batch["targets"], crit)["total"]
+
+        g = jax.jit(jax.grad(loss_fn))
+        ms = timed(g, variables["params"], variables.get("batch_stats", {}),
+                   batch, jax.random.key(2), iters=args.iters)
+        print(f"model+criterion fwd+bwd (bwd={args.bwd}): {ms:.1f} ms")
     elif args.what == "criterion":
         out, _ = model.apply(
             variables, batch["images"], batch["targets"], train=True,
             rngs={"dn": jax.random.key(2)}, mutable=["batch_stats"],
         )
         out = jax.tree.map(jax.lax.stop_gradient, out)
+        # grad only w.r.t. float leaves (outputs carry int dn metadata)
+        flt, aux = jax.tree_util.tree_flatten(out)
+        is_f = [hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.inexact) for v in flt]
 
-        def crit_loss(out, targets):
-            return criterion_forward(out, targets, crit)["total"]
+        def crit_loss(fleaves, targets):
+            leaves = []
+            fi = iter(fleaves)
+            for v, f in zip(flt, is_f):
+                leaves.append(next(fi) if f else v)
+            o = jax.tree_util.tree_unflatten(aux, leaves)
+            return criterion_forward(o, targets, crit)["total"]
 
+        fleaves = [v for v, f in zip(flt, is_f) if f]
         g = jax.jit(jax.grad(crit_loss))
-        ms = timed(g, out, batch["targets"], iters=args.iters)
+        ms = timed(g, fleaves, batch["targets"], iters=args.iters)
         print(f"criterion fwd+bwd (incl. Hungarian): {ms:.1f} ms")
     elif args.what == "optim":
         grads = jax.tree.map(lambda p: jnp.ones_like(p) * 1e-3, variables["params"])
