@@ -86,3 +86,57 @@ def test_trainer_two_epochs(project):
     tr2.load_checkpoint("best")
     m = tr2.evaluate("val")
     assert np.isfinite(m["f1"])
+
+
+@pytest.mark.slow
+def test_quant_app_gate_and_artifact(project):
+    """make-quant analog e2e: trained experiment -> int8 conversion -> gated
+    val eval through the REAL int8 interceptor path -> export_int8.npz
+    (reference ov_int8.py:130-139 accuracy-controlled quantization)."""
+    cfg = load_config("config.yaml", overrides=[
+        f"train.root={project}",
+        "model_name=n",
+        "train.img_size=[256, 256]",
+        "train.batch_size=2",
+        "train.epochs=1",
+        "train.max_gt=8",
+        "train.num_workers=2",
+        "train.use_wandb=False",
+        "train.to_visualize_eval=False",
+        "train.label_to_name={0: red, 1: blue}",
+        "train.dtype=float32",
+        "exp_name=quantsmoke",
+        "train.mosaic_augs.mosaic_prob=0.0",
+        # random-ish net: accept any drop so the app reaches the save step
+        "export.int8_max_drop=1.0",
+    ])
+    from dfine_tpu.train.trainer import Trainer
+
+    tr = Trainer(cfg)
+    tr.train()
+
+    from dfine_tpu.apps import quant
+
+    quant.main([
+        f"train.root={project}",
+        "model_name=n",
+        "train.img_size=[256, 256]",
+        "train.batch_size=2",
+        "train.max_gt=8",
+        "train.num_workers=2",
+        "train.use_wandb=False",
+        "train.to_visualize_eval=False",
+        "train.label_to_name={0: red, 1: blue}",
+        "train.dtype=float32",
+        "exp_name=quantsmoke",
+        "export.int8_max_drop=1.0",
+    ])
+    npz = tr.path_to_save / "export_int8.npz"
+    assert npz.exists()
+    # round-trip: Int8Model must serve the artifact (already-int8 guard)
+    from dfine_tpu.infer import Int8Model
+
+    m = Int8Model("n", str(npz), n_outputs=2, input_width=256,
+                  input_height=256, conf_thresh=0.05, half=False)
+    (res,) = m(np.random.randint(0, 255, (256, 256, 3), np.uint8))
+    assert set(res) >= {"labels", "boxes", "scores"}
