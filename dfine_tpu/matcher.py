@@ -168,8 +168,11 @@ def solve_matchings(
 
     One vmapped exact-Hungarian kernel over S*B tiny problems — no host
     round-trip (the TPU runtime here has no host-callback support, and the
-    reference's GPU->CPU scipy hop is the very bottleneck we remove)."""
+    reference's GPU->CPU scipy hop is the very bottleneck we remove).
+    Padded GT rows are skipped inside the solver (reference scipy solves the
+    reduced per-image problem); their match entries are -1 and masked by
+    every consumer."""
     s, b, g, q = costs.shape
-    match = hungarian(costs)  # [S, B, G]
+    match = hungarian(costs, row_valid=tgt_valid)  # [S, B, G], -1 on pads
     go_q, go_t, go_valid = go_union(match, tgt_valid, q)
     return match, go_q, go_t, go_valid

@@ -26,12 +26,21 @@ import jax.numpy as jnp
 _INF = jnp.float32(1e30)
 
 
-def _solve_one(cost: jnp.ndarray) -> jnp.ndarray:
-    """cost: [G, Q] float32 (G <= Q).  Returns col4row [G] int32."""
+def _solve_one(cost: jnp.ndarray, row_valid: jnp.ndarray) -> jnp.ndarray:
+    """cost: [G, Q] float32 (G <= Q); row_valid: [G] bool.  Returns col4row
+    [G] int32 with -1 for invalid rows.
+
+    Invalid (padded-GT) rows are SKIPPED: their augmenting-path search
+    terminates immediately and the augmentation loop never runs, so under
+    vmap they stop inflating the worst-case iteration count whenever every
+    lane's row is padded.  This matches the reference exactly — scipy solves
+    the REDUCED per-image problem (matcher.py:112-120); padded rows never
+    existed there."""
     g, q = cost.shape
 
     def outer(cur, carry):
         u, v, col4row, row4col = carry
+        active = row_valid[cur]
 
         # --- grow shortest augmenting path from row `cur`
         def path_cond(st):
@@ -54,7 +63,7 @@ def _solve_one(cost: jnp.ndarray) -> jnp.ndarray:
             return sink, i, minval, shortest, pred, done, row_scanned
 
         init = (
-            jnp.int32(-1),
+            jnp.where(active, jnp.int32(-1), jnp.int32(0)),  # inactive: done
             cur,
             jnp.float32(0.0),
             jnp.full((q,), _INF, jnp.float32),
@@ -89,7 +98,8 @@ def _solve_one(cost: jnp.ndarray) -> jnp.ndarray:
             return r == cur, nxt, col4row, row4col
 
         _, _, col4row, row4col = jax.lax.while_loop(
-            aug_cond, aug_body, (jnp.bool_(False), sink, col4row, row4col)
+            aug_cond, aug_body,
+            (jnp.logical_not(active), sink, col4row, row4col),
         )
         return u, v, col4row, row4col
 
@@ -101,14 +111,20 @@ def _solve_one(cost: jnp.ndarray) -> jnp.ndarray:
     return col4row
 
 
-def hungarian(cost: jnp.ndarray) -> jnp.ndarray:
+def hungarian(cost: jnp.ndarray, row_valid: jnp.ndarray = None) -> jnp.ndarray:
     """Batched exact min-cost assignment.
 
-    cost: [..., G, Q] with G <= Q.  Returns col4row [..., G] int32 — the
-    column assigned to each row.  Non-differentiable (stop_gradient inside).
+    cost: [..., G, Q] with G <= Q; row_valid: optional [..., G] bool (rows
+    marked False are skipped and get -1; every consumer masks them anyway).
+    Returns col4row [..., G] int32 — the column assigned to each row.
+    Non-differentiable (stop_gradient inside).
     """
     cost = jax.lax.stop_gradient(cost.astype(jnp.float32))
     lead = cost.shape[:-2]
     flat = cost.reshape((-1,) + cost.shape[-2:])
-    out = jax.vmap(_solve_one)(flat)
+    if row_valid is None:
+        rv = jnp.ones(flat.shape[:2], bool)
+    else:
+        rv = jnp.broadcast_to(row_valid, lead + cost.shape[-2:-1]).reshape(flat.shape[:2])
+    out = jax.vmap(_solve_one)(flat, rv)
     return out.reshape(lead + cost.shape[-2:-1])

@@ -84,10 +84,17 @@ def test_solve_matchings_optimal_and_injective():
     match = np.asarray(match)
     for s in range(S):
         for b in range(B):
-            assert len(set(match[s, b].tolist())) == G  # injective
-            r, col = linear_sum_assignment(costs[s, b] * valid[b][:, None])
-            tot_sp = (costs[s, b] * valid[b][:, None])[r, col].sum()
-            tot_us = (costs[s, b] * valid[b][:, None])[np.arange(G), match[s, b]].sum()
+            v = valid[b]
+            # padded rows are skipped by the solver (-1, like scipy never
+            # seeing them in the reference's reduced problem)
+            assert (match[s, b][~v] == -1).all()
+            vq = match[s, b][v]
+            assert (vq >= 0).all()
+            assert len(set(vq.tolist())) == v.sum()  # injective over valid
+            # optimal on the REDUCED problem, exactly like scipy
+            r, col = linear_sum_assignment(costs[s, b][v])
+            tot_sp = costs[s, b][v][r, col].sum()
+            tot_us = costs[s, b][v][np.arange(v.sum()), vq].sum()
             assert abs(tot_sp - tot_us) < 1e-4
 
 

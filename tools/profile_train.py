@@ -60,8 +60,12 @@ def main():
     ap.add_argument("--gt", type=int, default=100)
     ap.add_argument("--classes", type=int, default=80)
     ap.add_argument("--what", default="full",
-                    choices=["full", "fwdbwd", "fwdbwd_crit", "criterion", "optim"])
-    ap.add_argument("--bwd", default="sorted", choices=["xla", "sorted", "pallas"])
+                    choices=["full", "fwdbwd", "fwdbwd_crit", "criterion",
+                             "hungarian", "optim"])
+    ap.add_argument("--bwd", default="xla",
+                    choices=["xla", "sorted", "pallas", "window"])
+    ap.add_argument("--losses", default="",
+                    help="comma list overriding criterion losses, e.g. vfl,boxes")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
@@ -75,7 +79,12 @@ def main():
     model = build_model(args.size, args.classes, enable_mask_head=False,
                         dtype=jnp.bfloat16)
     batch = make_batch(args.bs, args.img, args.gt, args.classes)
-    crit = CriterionConfig(num_classes=args.classes)
+    crit = (
+        CriterionConfig(num_classes=args.classes,
+                        losses=tuple(args.losses.split(",")))
+        if args.losses
+        else CriterionConfig(num_classes=args.classes)
+    )
 
     variables = model.init(
         {"params": jax.random.key(0), "dn": jax.random.key(1)},
@@ -160,6 +169,28 @@ def main():
         g = jax.jit(jax.grad(crit_loss))
         ms = timed(g, fleaves, batch["targets"], iters=args.iters)
         print(f"criterion fwd+bwd (incl. Hungarian): {ms:.1f} ms")
+    elif args.what == "hungarian":
+        # matcher alone on REAL model-output costs (cost stats drive the
+        # augmenting-path lengths, so random-cost micro-benchmarks mislead)
+        from dfine_tpu.matcher import matching_cost, solve_matchings
+
+        out, _ = model.apply(
+            variables, batch["images"], batch["targets"], train=True,
+            rngs={"dn": jax.random.key(2)}, mutable=["batch_stats"],
+        )
+        sets = [out] + list(out.get("aux_outputs", [])) + [out["pre_outputs"]]
+        sets += list(out.get("enc_aux_outputs", []))
+        tgt = batch["targets"]
+        costs = jnp.stack([
+            matching_cost(s["pred_logits"], s["pred_boxes"], tgt["labels"],
+                          tgt["boxes"], tgt["valid"], crit.matcher)
+            for s in sets
+        ])
+        costs = jax.block_until_ready(jax.lax.stop_gradient(costs))
+        f = jax.jit(lambda c: solve_matchings(c, tgt["valid"]))
+        ms = timed(f, costs, iters=args.iters)
+        print(f"matcher (solve_matchings, {costs.shape[0]}x{costs.shape[1]} "
+              f"problems of {costs.shape[2]}x{costs.shape[3]}): {ms:.1f} ms")
     elif args.what == "optim":
         grads = jax.tree.map(lambda p: jnp.ones_like(p) * 1e-3, variables["params"])
         state = tx.init(variables["params"])
