@@ -46,3 +46,6 @@ test:
 lapjv:
 	g++ -O3 -shared -fPIC -std=c++17 -o dfine_tpu/native/liblapjv.so \
 	    dfine_tpu/native/lapjv.cpp -lpthread
+
+profile:
+	$(PY) tools/profile_train.py --what full $(OVERRIDES)
