@@ -322,16 +322,19 @@ def criterion_forward(
     enc_agnostic = outputs.get("enc_meta", {}).get("class_agnostic", False)
     enc_labels = jnp.zeros_like(targets["labels"]) if enc_agnostic else targets["labels"]
 
-    costs = [
-        matching_cost(s["pred_logits"], s["pred_boxes"], targets["labels"],
-                      targets["boxes"], valid, cfg.matcher)
-        for s in sets
-    ] + [
-        matching_cost(s["pred_logits"], s["pred_boxes"], enc_labels,
-                      targets["boxes"], valid, cfg.matcher)
-        for s in enc_sets
-    ]
-    match, go_q, go_t, go_valid = solve_matchings(jnp.stack(costs), valid)
+    # stacked once, reused for costs AND the fused losses below
+    all_sets_ = sets + enc_sets
+    lg_s = jnp.stack([s["pred_logits"] for s in all_sets_])  # [S,B,Q,C]
+    bx_s = jnp.stack([s["pred_boxes"] for s in all_sets_])  # [S,B,Q,4]
+    lb_s = jnp.stack(
+        [targets["labels"]] * len(sets) + [enc_labels] * len(enc_sets)
+    )  # [S,B,G]
+    costs = jax.vmap(
+        lambda lg, bx, lb: matching_cost(
+            lg, bx, lb, targets["boxes"], valid, cfg.matcher
+        )
+    )(lg_s, bx_s, lb_s)
+    match, go_q, go_t, go_valid = solve_matchings(costs, valid)
     n_aux = len(outputs.get("aux_outputs", []))
     m_final = match[0]
     m_aux = [match[1 + i] for i in range(n_aux)]
@@ -375,12 +378,7 @@ def criterion_forward(
         + ["_pre"]
         + [f"_enc_{i}" for i in range(len(enc_sets))]
     )
-    all_sets = sets + enc_sets
-    lg_s = jnp.stack([s["pred_logits"] for s in all_sets])  # [S,B,Q,C]
-    bx_s = jnp.stack([s["pred_boxes"] for s in all_sets])  # [S,B,Q,4]
-    lb_s = jnp.stack(
-        [targets["labels"]] * len(sets) + [enc_labels] * len(enc_sets)
-    )  # [S,B,G]
+    all_sets = all_sets_  # lg_s/bx_s/lb_s computed above, pre-matcher
 
     def put(name, suffix, value):
         if name in wd:
