@@ -28,6 +28,9 @@ BASE: Dict[str, Any] = {
         "box_noise_scale": 1.0,
         "reg_max": 32,
         "query_select_method": "default",
+        # widen post-eval_idx decoder layers (reference dfine_decoder.py:574,
+        # 684, 693); 1 = off for every shipped size, matching the reference
+        "layer_scale": 1,
     },
     "criterion": {
         "weight_dict": {
