@@ -322,6 +322,24 @@ def criterion_forward(
     enc_agnostic = outputs.get("enc_meta", {}).get("class_agnostic", False)
     enc_labels = jnp.zeros_like(targets["labels"]) if enc_agnostic else targets["labels"]
 
+    # Class-agnostic enc sets (query_select_method='agnostic') emit logits of
+    # class dim 1 (decoder class_agnostic enc_meta; reference handles this by
+    # running the enc losses with num_classes=1, dfine_criterion.py:525-548).
+    # To keep ONE uniform stacked pass we instead pad the enc logits up to C
+    # with large-negative columns: sigmoid(-20) ~ 2e-9, so the pad columns
+    # contribute ~0 to the focal matching cost and exactly-0-weighted terms
+    # to vfl (targets are all class 0), which is bitwise the 1-class result.
+    c_main = outputs["pred_logits"].shape[-1]
+
+    def _pad_classes(lg):
+        cc = lg.shape[-1]
+        if cc == c_main:
+            return lg
+        pad = jnp.full(lg.shape[:-1] + (c_main - cc,), -20.0, lg.dtype)
+        return jnp.concatenate([lg, pad], axis=-1)
+
+    enc_sets = [{**s, "pred_logits": _pad_classes(s["pred_logits"])} for s in enc_sets]
+
     # stacked once, reused for costs AND the fused losses below
     all_sets_ = sets + enc_sets
     lg_s = jnp.stack([s["pred_logits"] for s in all_sets_])  # [S,B,Q,C]
@@ -528,16 +546,18 @@ def criterion_forward(
                         dn_num_boxes, cfg, dn_fgl_cache, pair_iou=iou,
                     )["loss_fgl"]
                 )(cr_dn, iou_dn_s)
-                ddf_dn = jax.vmap(
-                    lambda lg, cr, iou: loss_ddf(
-                        {"pred_logits": lg, "pred_corners": cr}, dn_ddf_cache,
-                        targets, dn_q, dn_t, dn_pair_valid, num_pos, num_neg,
-                        cfg, pair_iou=iou,
-                    )["loss_ddf"]
-                )(jnp.stack([dn_lg[i] for i in dn_loc]), cr_dn, iou_dn_s)
                 for j, i in enumerate(dn_loc):
                     put("loss_fgl", f"_dn_{i}", fgl_dn[j])
-                    put("loss_ddf", f"_dn_{i}", ddf_dn[j])
+                if dn_ddf_cache is not None:  # teacher (last DN set) has corners
+                    ddf_dn = jax.vmap(
+                        lambda lg, cr, iou: loss_ddf(
+                            {"pred_logits": lg, "pred_corners": cr}, dn_ddf_cache,
+                            targets, dn_q, dn_t, dn_pair_valid, num_pos, num_neg,
+                            cfg, pair_iou=iou,
+                        )["loss_ddf"]
+                    )(jnp.stack([dn_lg[i] for i in dn_loc]), cr_dn, iou_dn_s)
+                    for j, i in enumerate(dn_loc):
+                        put("loss_ddf", f"_dn_{i}", ddf_dn[j])
         if has_dn_masks:
             for i, dn in enumerate(dn_iter):
                 d = loss_masks(dn, targets, dn_q, dn_pair_valid, cfg, tgt_idx=dn_t)

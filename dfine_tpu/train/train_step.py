@@ -107,7 +107,8 @@ def make_train_step(
                 cand_b = ema_update(ema_b, new_bs, opt_it, ema_base)
                 blend = lambda old, new: jax.tree.map(
                     lambda o, n: o + did_step.astype(o.dtype) * (n - o)
-                    if jnp.issubdtype(o.dtype, jnp.floating) else n,
+                    if jnp.issubdtype(o.dtype, jnp.floating)
+                    else jnp.where(did_step > 0, n, o),
                     old, new,
                 )
                 ema_p = blend(ema_p, cand_p)

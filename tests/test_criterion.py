@@ -150,3 +150,64 @@ def test_bce_with_logits_matches_definition():
     p = 1 / (1 + np.exp(-x))
     ref = -(t * np.log(p) + (1 - t) * np.log(1 - p))
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_criterion_agnostic_enc_sets():
+    """query_select_method='agnostic' emits enc logits with class dim 1
+    (decoder.py:416,665).  The criterion must still trace (the stacked pass
+    pads enc logits to C) and the enc vfl/cost must equal the explicit
+    1-class computation the reference runs (dfine_criterion.py enc branch
+    with num_classes=1 and zeroed labels)."""
+    from dfine_tpu.matcher import matching_cost
+
+    rng = np.random.default_rng(7)
+    B, Q, C, G = 2, 20, 5, 4
+    cfg = CriterionConfig(num_classes=C)
+    out = make_outputs(rng, B, Q, C, G)
+    enc1 = {
+        "pred_logits": jnp.asarray(rng.normal(size=(B, Q, 1)).astype(np.float32)),
+        "pred_boxes": jnp.asarray(rng.uniform(0.3, 0.6, size=(B, Q, 4)).astype(np.float32)),
+    }
+    out["enc_aux_outputs"] = [enc1]
+    out["enc_meta"] = {"class_agnostic": True}
+    tgt = make_targets(rng, B, G, C, n_valid=[3, 2])
+
+    meta = {"enc_meta": out.pop("enc_meta"), "dn_meta": out.pop("dn_meta")}
+    res = jax.jit(lambda o, t: criterion_forward({**o, **meta}, t, cfg))(out, tgt)
+    for k, v in res.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    assert "loss_vfl_enc_0" in res
+
+    # semantic check: padded-to-C enc vfl == native 1-class enc vfl
+    zeros = jnp.zeros_like(tgt["labels"])
+    cfg1 = CriterionConfig(num_classes=1)
+    cost1 = matching_cost(enc1["pred_logits"], enc1["pred_boxes"], zeros,
+                          tgt["boxes"], tgt["valid"], cfg1.matcher)
+    from dfine_tpu.ops.hungarian import hungarian
+    m1 = hungarian(cost1[None], row_valid=tgt["valid"])[0]
+    ref = loss_vfl(enc1, {"labels": zeros, "boxes": tgt["boxes"]},
+                   m1, tgt["valid"], max(float(tgt["valid"].sum()), 1.0), cfg1)
+    np.testing.assert_allclose(
+        float(res["loss_vfl_enc_0"]),
+        float(ref["loss_vfl"]) * cfg.weight_dict["loss_vfl"],
+        rtol=1e-5,
+    )
+
+
+def test_criterion_dn_teacher_without_corners():
+    """If the final DN set lacks pred_corners while earlier ones have them,
+    the DN-DDF teacher cache is None and the DDF branch must be skipped
+    (not crash) — FGL on the earlier sets still runs."""
+    rng = np.random.default_rng(8)
+    B, Q, C, G = 2, 20, 5, 4
+    cfg = CriterionConfig(num_classes=C)
+    out = make_outputs(rng, B, Q, C, G)
+    out["dn_outputs"][-1] = {
+        k: v for k, v in out["dn_outputs"][-1].items() if k != "pred_corners"
+    }
+    tgt = make_targets(rng, B, G, C, n_valid=[3, 2])
+    res = criterion_forward(out, tgt, cfg)
+    assert "loss_fgl_dn_0" in res
+    assert not any(k.startswith("loss_ddf_dn") for k in res)
+    for k, v in res.items():
+        assert np.isfinite(np.asarray(v)).all(), k
