@@ -10,7 +10,9 @@ re-designed for XLA:
   * the train/eval paths are two jit specializations of one module
 
 ``layer_scale != 1`` (the "wide post-eval layers" variant, reference
-:408-411) is not implemented — no shipped size config uses it.
+:408-411, 475-480, 693) IS implemented: layers past ``eval_idx`` use a
+widened hidden dim with dedicated in/out projections (see the
+``layer_scale`` handling in ``TransformerDecoder`` below).
 """
 
 from __future__ import annotations

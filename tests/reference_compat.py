@@ -77,7 +77,12 @@ def _install_stubs():
         sys.modules["torchvision.ops.boxes"] = boxes_mod
 
 
-def build_reference_model(size: str, num_classes: int, enable_mask_head: bool = False):
+def build_reference_model(
+    size: str,
+    num_classes: int,
+    enable_mask_head: bool = False,
+    decoder_overrides: dict | None = None,
+):
     """Returns the reference torch DFINE model (random init, eval mode)."""
     _install_stubs()
     if "/root/reference" not in sys.path:
@@ -95,6 +100,8 @@ def build_reference_model(size: str, num_classes: int, enable_mask_head: bool = 
     cfg["HybridEncoder"]["eval_spatial_size"] = None
     cfg["DFINETransformer"]["eval_spatial_size"] = None
     cfg["DFINETransformer"]["enable_mask_head"] = enable_mask_head
+    if decoder_overrides:
+        cfg["DFINETransformer"].update(decoder_overrides)
     torch.manual_seed(0)
     model = DFINE(
         HGNetv2(**cfg["HGNetv2"]),

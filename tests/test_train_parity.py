@@ -181,3 +181,70 @@ def test_criterion_gradient_parity():
             np.asarray(our_grads[k]), ref_grads[k], atol=2e-5, rtol=1e-3,
             err_msg=f"grad mismatch for {k}",
         )
+
+
+@pytest.mark.slow
+def test_train_forward_layer_scale_parity():
+    """layer_scale=2 widened post-eval_idx tail (reference dfine_decoder.py:
+    408-411, 475-480, 693): import a reference model built with
+    layer_scale=2 / eval_idx=1 and assert train-mode forward parity of every
+    layer INCLUDING the widened ones (final output comes from the wide
+    layer).  num_denoising=0 removes CDN randomness."""
+    import torch
+
+    from dfine_tpu.models import build_model
+    from dfine_tpu.utils.checkpoint import load_torch_checkpoint
+
+    num_classes, img = 5, 320
+    dec_over = {"layer_scale": 2, "eval_idx": 1, "num_denoising": 0}
+    ref = build_reference_model("n", num_classes, decoder_overrides=dec_over)
+    ref.train()
+
+    model = build_model(
+        "n", num_classes=num_classes,
+        cfg_overrides=(
+            ("decoder.layer_scale", 2),
+            ("decoder.eval_idx", 1),
+            ("decoder.num_denoising", 0),
+        ),
+    )
+    g = 4
+    x = jnp.zeros((1, img, img, 3), jnp.float32)
+    tgt = {
+        "labels": jnp.zeros((1, g), jnp.int32),
+        "boxes": jnp.full((1, g, 4), 0.5, jnp.float32),
+        "valid": jnp.ones((1, g), bool),
+    }
+    template = model.init(
+        {"params": jax.random.key(0), "dn": jax.random.key(1)}, x, tgt, train=True
+    )
+    sd = {k: t.detach().numpy() for k, t in ref.state_dict().items()}
+    # strict: every reference param (incl. the wide-tail layers' weights and
+    # the scaled_dim bbox/score heads) must land in our tree
+    variables = jax.tree.map(
+        jnp.asarray, load_torch_checkpoint(sd, template, verbose=False, strict=True)
+    )
+
+    rng = np.random.default_rng(5)
+    xi = rng.uniform(size=(1, img, img, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(xi.transpose(0, 3, 1, 2)), targets=None)
+    out, _ = model.apply(
+        variables, jnp.asarray(xi), None, train=True,
+        rngs={"dn": jax.random.key(2)}, mutable=["batch_stats"],
+    )
+
+    def pair(r, o):
+        rb, ob = r["pred_boxes"].detach().numpy()[0], np.asarray(o["pred_boxes"])[0]
+        cost = np.abs(rb[:, None] - ob[None]).sum(-1)
+        m = cost.argmin(1)
+        assert len(set(m.tolist())) == len(m)
+        np.testing.assert_allclose(ob[m], rb, atol=1e-3, rtol=1e-2)
+        rl, ol = r["pred_logits"].detach().numpy()[0], np.asarray(o["pred_logits"])[0]
+        np.testing.assert_allclose(ol[m], rl, atol=5e-3, rtol=5e-2)
+
+    # final output IS the widened layer (num_layers-1 > eval_idx)
+    pair(ref_out, out)
+    assert len(ref_out["aux_outputs"]) == len(out["aux_outputs"])
+    for r_aux, o_aux in zip(ref_out["aux_outputs"], out["aux_outputs"]):
+        pair(r_aux, o_aux)
