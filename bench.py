@@ -11,12 +11,24 @@ inside the loop, like the reference's cv2+H2D preprocess) and ends with the
 decoded scores/labels/boxes (+ bf16 mask logits for the top queries) synced
 back to host.
 
+Protocol hardening (VERDICT r2 item #8):
+* p50 AND p90 with sample counts + warmup count in the JSON;
+* det and det+seg are INTERLEAVED in alternating blocks within one session,
+  so tunnel/host drift hits both equally (r2 had det 3.23 > det+seg 2.55
+  from sequential measurement under host contention);
+* host-load guard: 1-min loadavg is sampled before timing and flagged in
+  the output if another process is competing for this 1-core host.
+
 Weights: random-init by default (latency is weight-independent); set
 DFINE_BENCH_CKPT=/path/to/{.pth,.npz,ckpt} to load real weights through the
 parity-verified importer (dfine_tpu/utils/checkpoint.py).
 
-Prints ONE JSON line.  Primary metric = det+seg e2e p50; ``det_p50_ms`` is
-the detection-only config for comparison with BENCH_r01.  ``vs_baseline`` is
+int8: measured in FRESH subprocesses (one per mode) because on this dev
+runtime a session that ever held int8-typed params degrades permanently
+(NOTES.md, tools/bisect_int8.py).  Both modes are reported: ``w8a8`` (real
+int8 MXU dots) and ``w8a16`` (int8 weights in HBM, bf16 compute).
+
+Prints ONE JSON line.  Primary metric = det+seg e2e p50; ``vs_baseline`` is
 the speedup factor (baseline_ms / ours_ms; > 1 beats the reference).
 """
 
@@ -34,6 +46,7 @@ import jax.numpy as jnp
 # covering every plausible above-threshold detection (reference keeps the
 # conf-filtered subset of 300)
 TOP_MASKS = 100
+WARMUP = 5
 
 
 def load_variables(model, img_hw):
@@ -87,20 +100,46 @@ def build(enable_masks: bool, int8: bool = False):
     return infer, variables
 
 
-def measure(infer, variables, raw_np, iters=50):
-    out = infer(variables, raw_np)  # compile + warmup
-    jax.block_until_ready(out)
+def _time_block(infer, variables, raw_np, iters):
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = infer(variables, raw_np)  # H2D of the host frame included
         jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
-    return float(np.median(times) * 1000.0)
+    return times
 
 
-def _measure_int8_subprocess() -> float:
-    """Measure the int8 config in a FRESH process: on this dev runtime a
+def warm(infer, variables, raw_np):
+    for _ in range(WARMUP):
+        out = infer(variables, raw_np)
+    jax.block_until_ready(out)
+
+
+def stats(times):
+    ms = np.asarray(times) * 1000.0
+    return {
+        "p50": round(float(np.percentile(ms, 50)), 3),
+        "p90": round(float(np.percentile(ms, 90)), 3),
+        "n": int(len(ms)),
+    }
+
+
+def measure(infer, variables, raw_np, iters=50):
+    """Single-config measurement (used by the int8 subprocess path)."""
+    warm(infer, variables, raw_np)
+    return stats(_time_block(infer, variables, raw_np, iters))
+
+
+def host_load() -> float:
+    try:
+        return float(open("/proc/loadavg").read().split()[0])
+    except Exception:
+        return -1.0
+
+
+def _measure_int8_subprocess(mode: str) -> dict:
+    """Measure an int8 config in a FRESH process: on this dev runtime a
     program with int8-typed parameters flips the whole session into a
     degraded sync-dispatch mode (~35 ms/call for every subsequent program
     too — see NOTES.md / tools/bisect_int8.py), so it must never share a
@@ -109,13 +148,13 @@ def _measure_int8_subprocess() -> float:
     import sys
 
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--int8-only"],
+        [sys.executable, os.path.abspath(__file__), f"--int8-only={mode}"],
         capture_output=True, text=True, timeout=1800,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     for line in proc.stdout.splitlines():
-        if line.startswith("INT8_MS="):
-            return float(line.split("=", 1)[1])
+        if line.startswith("INT8_STATS="):
+            return json.loads(line.split("=", 1)[1])
     raise RuntimeError(f"int8 subprocess failed: {proc.stderr[-1500:]}")
 
 
@@ -126,35 +165,56 @@ def main():
         0, 255, size=(1, 720, 1280, 3), dtype=np.uint8
     )
 
-    if "--int8-only" in sys.argv:
-        infer_i8, var_i8 = build(enable_masks=False, int8=True)
-        print(f"INT8_MS={measure(infer_i8, var_i8, raw_np):.3f}")
-        return
+    for a in sys.argv[1:]:
+        if a.startswith("--int8-only"):
+            mode = a.split("=", 1)[1] if "=" in a else "w8a8"
+            from dfine_tpu.infer.int8 import set_int8_mode
 
+            set_int8_mode(mode)
+            infer_i8, var_i8 = build(enable_masks=False, int8=True)
+            print(f"INT8_STATS={json.dumps(measure(infer_i8, var_i8, raw_np))}")
+            return
+
+    load_before = host_load()
+
+    # build + warm BOTH configs, then interleave timed blocks so drift in
+    # tunnel/host conditions hits det and det+seg equally
     infer_det, var_det = build(enable_masks=False)
-    det_p50 = measure(infer_det, var_det, raw_np)
-    del infer_det, var_det
-
     infer_seg, var_seg = build(enable_masks=True)
-    seg_p50 = measure(infer_seg, var_seg, raw_np)
+    warm(infer_det, var_det, raw_np)
+    warm(infer_seg, var_seg, raw_np)
+    det_times, seg_times = [], []
+    for _ in range(4):  # 4 alternating blocks of 15 -> n=60 each
+        det_times += _time_block(infer_det, var_det, raw_np, 15)
+        seg_times += _time_block(infer_seg, var_seg, raw_np, 15)
+    det, seg = stats(det_times), stats(seg_times)
 
-    int8_p50 = None
+    int8_rows = {}
     if os.environ.get("DFINE_BENCH_INT8", "1") != "0":
-        try:
-            int8_p50 = _measure_int8_subprocess()
-        except Exception:
-            int8_p50 = None
+        del infer_det, var_det, infer_seg, var_seg
+        for mode in ("w8a16", "w8a8"):
+            try:
+                int8_rows[mode] = _measure_int8_subprocess(mode)
+            except Exception:
+                pass
 
     baseline_ms = 5.5  # TensorRT FP16 / RTX 5070 Ti, det+seg e2e (BASELINE.md)
     row = {
         "metric": "dfine_m_640_detseg_e2e_latency_p50",
-        "value": round(seg_p50, 3),
+        "value": seg["p50"],
         "unit": "ms",
-        "vs_baseline": round(baseline_ms / seg_p50, 3),
-        "det_p50_ms": round(det_p50, 3),
+        "vs_baseline": round(baseline_ms / seg["p50"], 3),
+        "detseg_p90_ms": seg["p90"],
+        "det_p50_ms": det["p50"],
+        "det_p90_ms": det["p90"],
+        "n_per_config": det["n"],
+        "warmup": WARMUP,
+        "host_load_1min": load_before,
+        "host_contended": load_before > 1.5,
     }
-    if int8_p50 is not None:
-        row["det_int8_p50_ms"] = round(int8_p50, 3)
+    for mode, s in int8_rows.items():
+        row[f"det_{mode}_p50_ms"] = s["p50"]
+        row[f"det_{mode}_p90_ms"] = s["p90"]
     print(json.dumps(row))
 
 

@@ -1,0 +1,372 @@
+"""Dual-framework convergence parity run (VERDICT round-2 item #1).
+
+Trains BOTH frameworks to convergence on the SAME deterministic synthetic
+det+seg dataset (tools/synth_dataset.py) with matched hyperparameters, then
+compares final val F1 / mAP_50 computed by the SAME metric engine (our
+Validator + compute_map), isolating the training-framework difference:
+
+* ``ours``  — dfine_tpu Trainer on the TPU (one chip), config-driven.
+* ``torch`` — the in-image upstream reference (/root/reference): its real
+  DFINE model + DFINECriterion + build_optimizer + OneCycleLR + ModelEMA +
+  clip-0.1, semantics of src/dl/train.py:481-634, on CPU.  Data comes from
+  the same files through the same resize (augs off on both sides).
+
+Matched recipe: D-FINE-n, 3 classes, 320x320, bs 8, AdamW(base_lr 8e-4,
+backbone_lr 4e-4, wd 1.25e-4), OneCycle(pct_start 0.1), EMA 0.9998 with
+/2000 warmup, CDN on, grad-clip 0.1, augs/mosaic OFF, no pretrained weights.
+
+Usage:
+  python tools/convergence_parity.py gen    --root /tmp/convds
+  python tools/convergence_parity.py ours   --root /tmp/convds --epochs 40
+  python tools/convergence_parity.py torch  --root /tmp/convds --epochs 40
+  python tools/convergence_parity.py report --root /tmp/convds
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+LABELS = {0: "ellipse", 1: "rectangle", 2: "triangle"}
+N_CLASSES = 3
+
+OVERRIDES_COMMON = [
+    "model_name=n",
+    "task=segment",
+    "train.img_size=[320,320]",
+    "train.batch_size=8",
+    "train.use_wandb=false",
+    "train.keep_ratio=false",
+    "train.max_gt=10",
+    "train.num_workers=2",
+    "train.pretrained_model_path=",
+    "train.seed=42",
+    "train.early_stopping=0",
+    "train.ignore_background_epochs=0",
+    # augs OFF on both sides
+    "train.mosaic_augs.mosaic_prob=0.0",
+    "train.augs.rotation_p=0.0",
+    "train.augs.multiscale_prob=0.0",
+    "train.augs.rotate_90=0.0",
+    "train.augs.left_right_flip=0.0",
+    "train.augs.up_down_flip=0.0",
+    "train.augs.to_gray=0.0",
+    "train.augs.blur=0.0",
+    "train.augs.gamma=0.0",
+    "train.augs.brightness=0.0",
+    "train.augs.noise=0.0",
+    "train.augs.coarse_dropout=0.0",
+]
+
+
+def build_cfg(root: Path, epochs: int, out_dir: Path):
+    from dfine_tpu.config import load_config
+
+    over = OVERRIDES_COMMON + [
+        f"train.data_path={root}",
+        f"train.epochs={epochs}",
+        f"train.path_to_save={out_dir}",
+        f"train.eval_preds_path={out_dir}/eval_preds",
+        "train.label_to_name={0: ellipse, 1: rectangle, 2: triangle}",
+        "train.to_visualize_eval=false",
+        "train.debug_img_processing=false",
+    ]
+    return load_config(REPO / "config.yaml", over)
+
+
+def cmd_gen(args):
+    from tools.synth_dataset import generate
+
+    names = generate(Path(args.root), args.n_train, args.n_val, 320, seed=0)
+    print(f"dataset: {len(names['train'])} train / {len(names['val'])} val at {args.root}")
+
+
+# ------------------------------------------------------------------- ours --
+
+
+def cmd_ours(args):
+    from dfine_tpu.train.trainer import Trainer
+
+    out_dir = Path(args.root) / "run_ours"
+    cfg = build_cfg(Path(args.root), args.epochs, out_dir)
+    t0 = time.time()
+    trainer = Trainer(cfg)
+    final = trainer.train()
+    dur = time.time() - t0
+    res = {
+        "framework": "dfine_tpu",
+        "epochs": args.epochs,
+        "wall_s": round(dur, 1),
+        "val": {k: v for k, v in final["val"].items() if isinstance(v, (int, float))},
+    }
+    (Path(args.root) / "result_ours.json").write_text(json.dumps(res, indent=2))
+    print(json.dumps(res, indent=2))
+
+
+# ------------------------------------------------------------------ torch --
+
+
+def _torch_targets(sample_raw, img_size, device, torch):
+    """Reference-format ragged targets from a raw (resized) sample."""
+    from dfine_tpu.data.labels import polygons_to_masks
+
+    h, w = img_size
+    b = np.asarray(sample_raw["boxes"], np.float32).reshape(-1, 4)  # abs xyxy
+    labels = np.asarray(sample_raw["labels"], np.int64)
+    cxcywh = np.stack(
+        [
+            (b[:, 0] + b[:, 2]) / 2 / w,
+            (b[:, 1] + b[:, 3]) / 2 / h,
+            (b[:, 2] - b[:, 0]) / w,
+            (b[:, 3] - b[:, 1]) / h,
+        ],
+        -1,
+    ) if len(b) else np.zeros((0, 4), np.float32)
+    tgt = {
+        "labels": torch.as_tensor(labels, dtype=torch.long, device=device),
+        "boxes": torch.as_tensor(np.clip(cxcywh, 0, 1), dtype=torch.float32, device=device),
+    }
+    polys = sample_raw.get("polygons")
+    if polys is not None:
+        m = polygons_to_masks(polys, h, w) if len(polys) else np.zeros((0, h, w), np.uint8)
+        tgt["masks"] = torch.as_tensor(m, dtype=torch.float32, device=device)
+    return tgt
+
+
+def _np_topk_decode(logits, boxes, masks, k=300):
+    """numpy twin of dfine_tpu.postprocess.topk_decode (focal path)."""
+    b, q, c = logits.shape
+    scores_all = 1.0 / (1.0 + np.exp(-logits.astype(np.float64)))
+    flat = scores_all.reshape(b, q * c)
+    k = min(k, q * c)
+    idx = np.argsort(-flat, axis=1, kind="stable")[:, :k]
+    scores = np.take_along_axis(flat, idx, 1).astype(np.float32)
+    labels = (idx % c).astype(np.int32)
+    qidx = idx // c
+    out = {
+        "scores": scores,
+        "labels": labels,
+        "boxes": np.take_along_axis(boxes, qidx[..., None], 1),
+    }
+    if masks is not None:
+        out["masks"] = np.take_along_axis(masks, qidx[..., None, None], 1)
+    return out
+
+
+def _eval_torch(model, loader, cfg, torch):
+    """Mirror of Trainer.evaluate for the reference model: same dataset,
+    same postprocess, same Validator."""
+    from dfine_tpu.data.labels import polygons_to_masks
+    from dfine_tpu.eval.rle import masks_to_rle
+    from dfine_tpu.eval.validator import Validator
+    from dfine_tpu.postprocess import postprocess_predictions
+
+    ds = loader.dataset("val", mode="val")
+    img_size = tuple(cfg.train.img_size)
+    preds_all, gts_all = [], []
+    bs = int(cfg.train.batch_size)
+    model.eval()
+    with torch.no_grad():
+        for start in range(0, len(ds), bs):
+            ids = list(range(start, min(start + bs, len(ds))))
+            samples, gts = zip(*[ds.load_for_eval(i) for i in ids])
+            images = np.stack([s["image"] for s in samples], 0)  # NHWC float 0-1
+            x = torch.as_tensor(images.transpose(0, 3, 1, 2), dtype=torch.float32)
+            out = model(x)
+            logits = out["pred_logits"].numpy()
+            boxes = out["pred_boxes"].numpy()
+            masks = out.get("pred_masks")
+            masks = masks.numpy() if masks is not None else None
+            decoded = _np_topk_decode(logits, boxes, masks)
+            for i, g in enumerate(gts):
+                d_i = {kk: vv[i : i + 1] for kk, vv in decoded.items()}
+                p = postprocess_predictions(
+                    d_i, img_size, [g["orig_size"]], float(cfg.train.conf_thresh),
+                    bool(cfg.train.keep_ratio),
+                    masks_are_logits=False,  # reference sigmoids at eval
+                )[0]
+                gt_entry = {"labels": g["labels"], "boxes": g["boxes_abs"]}
+                if g.get("polygons") is not None:
+                    gm = polygons_to_masks(g["polygons"], *g["orig_size"])
+                    gt_entry["masks_rle"] = masks_to_rle(gm)
+                if "masks" in p:
+                    p["masks_rle"] = masks_to_rle(p.pop("masks"))
+                preds_all.append(p)
+                gts_all.append(gt_entry)
+    v = Validator(
+        gts_all, preds_all, LABELS,
+        conf_thresh=float(cfg.train.conf_thresh),
+        iou_thresh=float(cfg.train.iou_thresh),
+        mask_batch_size=int(cfg.train.mask_batch_size),
+    )
+    return v.compute_metrics()
+
+
+def cmd_torch(args):
+    from reference_compat import build_reference_model, _install_stubs
+
+    _install_stubs()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import torch
+
+    torch.set_num_threads(args.threads)
+    from src.d_fine.dfine import build_loss, build_optimizer
+    from torch.optim.lr_scheduler import OneCycleLR
+
+    from dfine_tpu.data.augment import plain_resize
+    from dfine_tpu.data.loader import Loader
+
+    out_dir = Path(args.root) / "run_torch"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    cfg = build_cfg(Path(args.root), args.epochs, out_dir)
+    t = cfg.train
+    img_size = tuple(t.img_size)
+    loader = Loader(Path(t.data_path), t, task="segment")
+    ds = loader.dataset("train", mode="train")
+    n = len(ds)
+    bs = int(t.batch_size)
+    steps_per_epoch = n // bs
+    device = "cpu"
+
+    torch.manual_seed(int(t.seed))
+    model = build_reference_model("n", N_CLASSES, enable_mask_head=True).train()
+    loss_fn = build_loss("n", N_CLASSES, label_smoothing=0.0, enable_mask_head=True)
+    opt = build_optimizer(
+        model, lr=float(t.base_lr), backbone_lr=float(t.backbone_lr),
+        betas=tuple(t.betas), weight_decay=float(t.weight_decay),
+        base_lr=float(t.base_lr),
+    )
+    sched = OneCycleLR(
+        opt, max_lr=float(t.base_lr) * 2, epochs=args.epochs,
+        steps_per_epoch=steps_per_epoch, pct_start=float(t.cycler_pct_start),
+        cycle_momentum=False,
+    )
+    # ModelEMA semantics (reference train.py:51-72) without the DDP unwrap
+    import copy
+
+    ema = copy.deepcopy(model).eval()
+    for p_ in ema.parameters():
+        p_.requires_grad_(False)
+    mom = float(t.ema_momentum)
+
+    def ema_update(it):
+        m = mom * (1 - math.exp(-it / 2000))
+        with torch.no_grad():
+            sd = model.state_dict()
+            for name, p_ in ema.state_dict().items():
+                if p_.dtype.is_floating_point:
+                    p_ *= m
+                    p_ += (1.0 - m) * sd[name].detach()
+
+    def load_sample(idx):
+        """Augs are all zeroed: train pipeline == plain resize (same as
+        ours); build ragged reference targets from the resized geometry."""
+        s = ds.load_raw(idx)
+        s = plain_resize(s, img_size)
+        img = s["image"].astype(np.float32) / 255.0
+        return img, _torch_targets(s, img_size, device, torch)
+
+    history = []
+    ema_iter = 0
+    t0 = time.time()
+    log = (out_dir / "train_log.txt").open("a")
+    for epoch in range(args.epochs):
+        order = np.random.default_rng(int(t.seed) + epoch).permutation(n)
+        model.train()
+        ep_losses = []
+        for step in range(steps_per_epoch):
+            ids = order[step * bs : (step + 1) * bs]
+            ims, tgts = zip(*[load_sample(int(i)) for i in ids])
+            x = torch.as_tensor(
+                np.stack(ims, 0).transpose(0, 3, 1, 2), dtype=torch.float32
+            )
+            output = model(x, targets=list(tgts))
+            loss_dict = loss_fn(output, list(tgts))
+            loss = sum(loss_dict.values())
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), float(t.clip_max_norm))
+            opt.step()
+            sched.step()
+            opt.zero_grad()
+            ema_iter += 1
+            ema_update(ema_iter)
+            ep_losses.append(float(loss.detach()))
+        msg = (
+            f"epoch {epoch}: loss={np.mean(ep_losses):.3f} "
+            f"lr={opt.param_groups[-1]['lr']:.2e} "
+            f"elapsed={time.time() - t0:.0f}s"
+        )
+        print(msg, flush=True)
+        log.write(msg + "\n")
+        log.flush()
+        if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
+            metrics = _eval_torch(ema, loader, cfg, torch)
+            history.append({"epoch": epoch, **{k: v for k, v in metrics.items()
+                                               if isinstance(v, (int, float))}})
+            msg = f"  eval: " + ", ".join(
+                f"{k}={v:.4f}" for k, v in history[-1].items() if k != "epoch")
+            print(msg, flush=True)
+            log.write(msg + "\n")
+            log.flush()
+            torch.save(ema.state_dict(), out_dir / "ema_last.pt")
+            (Path(args.root) / "result_torch.json").write_text(json.dumps({
+                "framework": "reference_torch",
+                "epochs": args.epochs,
+                "done_epochs": epoch + 1,
+                "wall_s": round(time.time() - t0, 1),
+                "val": history[-1],
+                "history": history,
+            }, indent=2))
+    print("torch run complete")
+
+
+def cmd_report(args):
+    root = Path(args.root)
+    ours = json.loads((root / "result_ours.json").read_text())
+    ref = json.loads((root / "result_torch.json").read_text())
+    keys = ["f1", "precision", "recall", "iou", "mAP_50", "mAP_50_95"]
+    print(f"{'metric':<12} {'ours(tpu)':>10} {'torch(ref)':>10} {'delta':>8}")
+    rows = []
+    for k in keys:
+        a = ours["val"].get(k)
+        b = ref["val"].get(k)
+        if a is None or b is None:
+            continue
+        rows.append((k, a, b, a - b))
+        print(f"{k:<12} {a:>10.4f} {b:>10.4f} {a - b:>+8.4f}")
+    out = {
+        "ours": ours, "torch": ref,
+        "delta_f1": next((r[3] for r in rows if r[0] == "f1"), None),
+    }
+    (root / "convergence_report.json").write_text(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("gen", "ours", "torch", "report"):
+        p = sub.add_parser(name)
+        p.add_argument("--root", required=True)
+        if name == "gen":
+            p.add_argument("--n-train", type=int, default=320)
+            p.add_argument("--n-val", type=int, default=80)
+        if name in ("ours", "torch"):
+            p.add_argument("--epochs", type=int, default=40)
+        if name == "torch":
+            p.add_argument("--eval-every", type=int, default=5)
+            p.add_argument("--threads", type=int, default=1)
+    args = ap.parse_args()
+    {"gen": cmd_gen, "ours": cmd_ours, "torch": cmd_torch, "report": cmd_report}[
+        args.cmd
+    ](args)

@@ -52,6 +52,115 @@ def make_batch(bs, img, gt, num_classes, seed=0):
     return {"images": images, "targets": targets}
 
 
+def profile_loader(args):
+    """Input-pipeline probe (VERDICT r2 item #5): loader img/s with and
+    without mosaic on this host, plus TPU step-utilization — the fraction of
+    wall time the chip is actually stepping when fed by the real loader
+    (1.0 == fully compute-bound; < 0.9 means the pipeline starves the chip).
+    """
+    from dfine_tpu.data.loader import BatchIterator, Loader
+
+    root = args.data
+    if not root:
+        root = "/tmp/profile_loader_ds"
+        if not os.path.exists(os.path.join(root, "train.csv")):
+            from tools.synth_dataset import generate
+
+            print(f"generating synthetic dataset at {root} ...")
+            generate(root, 256, 32, img_size=args.img, seed=0)
+
+    cfg_train = {
+        "img_size": (args.img, args.img),
+        "max_gt": args.gt,
+        "seed": 0,
+        "epochs": 100,
+        "label_to_name": {0: "a", 1: "b", 2: "c"},
+        "augs": {"left_right_flip": 0.3, "brightness": 0.02, "gamma": 0.02},
+        "mosaic_augs": {},
+    }
+
+    def measure(mosaic_prob, n_batches=24):
+        cfg = dict(cfg_train)
+        cfg["mosaic_augs"] = {
+            "mosaic_prob": mosaic_prob, "no_mosaic_epochs": 0,
+            "mosaic_scale": (0.5, 1.5), "degrees": 0.0,
+            "translate": 0.2, "shear": 2.0,
+        }
+        loader = Loader(root, cfg, task="detect")
+        it = BatchIterator(
+            loader.dataset("train"), args.bs, shuffle=True,
+            num_workers=8, seed=0,
+        )
+        n = 0
+        # warm one batch (thread pool spin-up), then time
+        gen = iter(it)
+        next(gen)
+        t0 = time.perf_counter()
+        for batch in gen:
+            n += batch["images"].shape[0]
+            if n >= n_batches * args.bs:
+                break
+        dt = time.perf_counter() - t0
+        return n / dt
+
+    plain = measure(0.0)
+    mosaic = measure(0.8)
+    print(f"loader throughput (bs={args.bs}, {args.img}px, 8 threads): "
+          f"{plain:.1f} img/s plain-aug, {mosaic:.1f} img/s mosaic-0.8")
+
+    # ---- step-utilization: pure-step time vs real-loop time
+    from dfine_tpu.models import build_model
+    from dfine_tpu.train.criterion import CriterionConfig
+    from dfine_tpu.train.optim import OptimConfig, build_optimizer
+    from dfine_tpu.train.train_step import TrainState, make_train_step
+
+    model = build_model(args.size, 3, enable_mask_head=False, dtype=jnp.bfloat16)
+    batch0 = make_batch(args.bs, args.img, args.gt, 3)
+    variables = model.init(
+        {"params": jax.random.key(0), "dn": jax.random.key(1)},
+        batch0["images"][:1], jax.tree.map(lambda x: x[:1], batch0["targets"]),
+        train=True,
+    )
+    tx = build_optimizer(variables["params"], OptimConfig(steps_per_epoch=32, epochs=4))
+    state = TrainState.create(variables, tx)
+    step = jax.jit(make_train_step(model, tx, CriterionConfig(num_classes=3)))
+    key = jax.random.key(0)
+
+    def run(state, batch):
+        return step(state, batch, key)
+
+    pure_ms = timed(lambda b: run(state, b)[1]["loss"], batch0, iters=12)
+    print(f"pure step ({args.size}@{args.img} bs{args.bs}): {pure_ms:.1f} ms")
+
+    cfg = dict(cfg_train)
+    cfg["mosaic_augs"] = {
+        "mosaic_prob": 0.8, "no_mosaic_epochs": 0, "mosaic_scale": (0.5, 1.5),
+        "degrees": 0.0, "translate": 0.2, "shear": 2.0,
+    }
+    loader = Loader(root, cfg, task="detect")
+    it = BatchIterator(loader.dataset("train"), args.bs, shuffle=True,
+                       num_workers=8, seed=0)
+    n_steps = 0
+    gen = iter(it)
+    first = next(gen)  # warm the producer
+    state, m = run(state, {"images": jnp.asarray(first["images"]),
+                           "targets": jax.tree.map(jnp.asarray, first["targets"])})
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for batch in gen:
+        b = {"images": jnp.asarray(batch["images"]),
+             "targets": jax.tree.map(jnp.asarray, batch["targets"])}
+        state, m = run(state, b)
+        n_steps += 1
+        if n_steps >= 24:
+            break
+    jax.block_until_ready(m["loss"])
+    loop_ms = (time.perf_counter() - t0) / max(1, n_steps) * 1000
+    util = pure_ms / loop_ms
+    print(f"real-loop step: {loop_ms:.1f} ms -> step-utilization {util:.2%} "
+          f"({'compute-bound, no double-buffering needed' if util >= 0.9 else 'DATA-BOUND'})")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="m")
@@ -61,13 +170,19 @@ def main():
     ap.add_argument("--classes", type=int, default=80)
     ap.add_argument("--what", default="full",
                     choices=["full", "fwdbwd", "fwdbwd_crit", "criterion",
-                             "hungarian", "optim"])
+                             "hungarian", "optim", "loader"])
+    ap.add_argument("--data", default="",
+                    help="loader mode: dataset root (generated in /tmp if empty)")
     ap.add_argument("--bwd", default="xla",
                     choices=["xla", "sorted", "pallas", "window"])
     ap.add_argument("--losses", default="",
                     help="comma list overriding criterion losses, e.g. vfl,boxes")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
+
+    if args.what == "loader":
+        profile_loader(args)
+        return
 
     from dfine_tpu.models import build_model
     from dfine_tpu.ops.deform_attn import set_deform_bwd

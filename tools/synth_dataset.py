@@ -1,0 +1,114 @@
+"""Deterministic synthetic det+seg dataset generator (shapes on noise).
+
+Produces the reference data layout (README.md:57-69): ``root/images/*.jpg``,
+``root/labels/*.txt`` (YOLO-seg polygon rows ``cls x1 y1 x2 y2 ...``
+normalized), ``train.csv`` / ``val.csv`` (headerless, col 0 = filename).
+
+3 classes with class-correlated but jittered colors:
+  0 = ellipse, 1 = rectangle (rotated), 2 = triangle.
+Used by tools/convergence_parity.py to train BOTH frameworks on identical
+data (VERDICT round-2 item #1).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import cv2
+import numpy as np
+
+BASE_COLORS = {
+    0: (60, 80, 200),   # reddish (BGR)
+    1: (70, 190, 90),   # green
+    2: (200, 120, 60),  # blue
+}
+
+
+def _poly_for_shape(rng, cls, cx, cy, r, img):
+    if cls == 0:  # ellipse -> 16-gon outline
+        a, b = r, r * rng.uniform(0.5, 1.0)
+        ang = rng.uniform(0, np.pi)
+        t = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+        x = a * np.cos(t)
+        y = b * np.sin(t)
+        xr = cx + x * np.cos(ang) - y * np.sin(ang)
+        yr = cy + x * np.sin(ang) + y * np.cos(ang)
+        return np.stack([xr, yr], 1)
+    if cls == 1:  # rotated rectangle
+        w, h = r, r * rng.uniform(0.4, 1.0)
+        ang = rng.uniform(0, np.pi)
+        base = np.asarray([[-w, -h], [w, -h], [w, h], [-w, h]], np.float64)
+        rot = np.asarray(
+            [[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]]
+        )
+        return base @ rot.T + [cx, cy]
+    # triangle
+    t = np.sort(rng.uniform(0, 2 * np.pi, 3))
+    return np.stack([cx + r * np.cos(t), cy + r * np.sin(t)], 1)
+
+
+def make_image(rng, img_size: int, max_shapes: int = 5):
+    """Returns (bgr uint8 [S,S,3], list of (cls, poly_norm [P,2]))."""
+    s = img_size
+    img = rng.integers(90, 150, size=(s, s, 3)).astype(np.uint8)
+    img = cv2.GaussianBlur(img, (0, 0), 3)
+    noise = rng.normal(0, 12, size=(s, s, 3))
+    img = np.clip(img.astype(np.float64) + noise, 0, 255).astype(np.uint8)
+
+    n = int(rng.integers(1, max_shapes + 1))
+    anns = []
+    occupied = np.zeros((s, s), bool)
+    for _ in range(n):
+        cls = int(rng.integers(0, 3))
+        r = rng.uniform(0.06, 0.18) * s
+        cx = rng.uniform(r + 2, s - r - 2)
+        cy = rng.uniform(r + 2, s - r - 2)
+        poly = _poly_for_shape(rng, cls, cx, cy, r, s)
+        poly = np.clip(poly, 1, s - 2)
+        mask = np.zeros((s, s), np.uint8)
+        cv2.fillPoly(mask, [poly.astype(np.int32)], 1)
+        if (mask & occupied).sum() > 0.3 * max(mask.sum(), 1):
+            continue  # too much overlap: skip (keeps instances separable)
+        occupied |= mask.astype(bool)
+        color = np.asarray(BASE_COLORS[cls], np.float64)
+        color = np.clip(color + rng.normal(0, 18, 3), 0, 255)
+        img[mask.astype(bool)] = color.astype(np.uint8)
+        anns.append((cls, poly / s))
+    # mild global photometric jitter
+    gain = rng.uniform(0.9, 1.1)
+    img = np.clip(img.astype(np.float64) * gain, 0, 255).astype(np.uint8)
+    return img, anns
+
+
+def generate(root: Path, n_train: int, n_val: int, img_size: int = 320, seed: int = 0):
+    root = Path(root)
+    (root / "images").mkdir(parents=True, exist_ok=True)
+    (root / "labels").mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    names = {"train": [], "val": []}
+    for split, count in (("train", n_train), ("val", n_val)):
+        for i in range(count):
+            name = f"{split}_{i:05d}.jpg"
+            img, anns = make_image(rng, img_size)
+            cv2.imwrite(str(root / "images" / name), img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+            lines = []
+            for cls, poly in anns:
+                coords = " ".join(f"{v:.6f}" for v in poly.reshape(-1))
+                lines.append(f"{cls} {coords}")
+            (root / "labels" / (Path(name).stem + ".txt")).write_text("\n".join(lines))
+            names[split].append(name)
+        (root / f"{split}.csv").write_text("\n".join(names[split]) + "\n")
+    return names
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--n-train", type=int, default=320)
+    ap.add_argument("--n-val", type=int, default=80)
+    ap.add_argument("--img-size", type=int, default=320)
+    ap.add_argument("--seed", type=int, default=0)
+    a = ap.parse_args()
+    names = generate(Path(a.root), a.n_train, a.n_val, a.img_size, a.seed)
+    print(f"wrote {len(names['train'])} train / {len(names['val'])} val to {a.root}")
