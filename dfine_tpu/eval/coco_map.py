@@ -31,7 +31,7 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .rle import rle_area, rle_to_masks
+from .rle import rle_area, rle_iou_matrix, rle_to_masks
 
 IOU_THRESHOLDS = np.round(np.arange(0.5, 1.0, 0.05), 2)
 RECALL_POINTS = np.linspace(0.0, 1.0, 101)
@@ -67,7 +67,15 @@ def box_iou_matrix(
 
 def mask_iou_matrix(pm, gm, iscrowd: Optional[np.ndarray] = None) -> np.ndarray:
     """IoU of masks (dense [N,H,W] arrays or lists of RLE dicts).  Crowd
-    columns use intersection / area(pred)."""
+    columns use intersection / area(pred).  Same-size RLE inputs never touch
+    dense pixels: the run-length-native path (rle.rle_iou_matrix) is O(runs)
+    per pair."""
+    if (
+        isinstance(pm, list)
+        and isinstance(gm, list)
+        and (not pm or not gm or pm[0]["size"] == gm[0]["size"])
+    ):
+        return rle_iou_matrix(pm, gm, iscrowd=iscrowd)
     if isinstance(pm, list):
         pm = rle_to_masks(pm) if pm else np.zeros((0, 1, 1), np.uint8)
     if isinstance(gm, list):

@@ -7,7 +7,8 @@ Capability mirror of the reference Validator (src/dl/validator.py:21-703):
 * per-class TP/FP/FN/IoU -> precision/recall/F1/IoU aggregates + extended
   per-class metrics (reference :281-338);
 * confusion matrix with background row/col (reference :362-436);
-* mask-IoU variant via flattened matmul, RLE-decoded in batches
+* mask-IoU variant computed run-length-natively on the RLEs (no dense
+  decode; dfine_tpu/eval/rle.py::rle_iou_matrix)
   (reference :269-279, 439-553);
 * mAP_50 / mAP_50_95 (box + segm) via the in-repo COCO evaluator
   (dfine_tpu/eval/coco_map.py) instead of torchmetrics;
@@ -42,11 +43,14 @@ def filter_preds(preds: List[Dict], conf_thresh: float) -> List[Dict]:
     return out
 
 
-def _get_masks(sample: Dict) -> Optional[np.ndarray]:
+def _get_masks(sample: Dict):
+    """Dense [N,H,W] array or RLE list — downstream IoU (coco_map.
+    mask_iou_matrix) consumes RLEs directly via the run-length-native path,
+    so RLE-encoded eval never decodes to dense pixels."""
     if sample.get("masks") is not None and len(sample["masks"]):
         return np.asarray(sample["masks"])
     if sample.get("masks_rle"):
-        return rle_to_masks(sample["masks_rle"])
+        return sample["masks_rle"]
     return None
 
 
