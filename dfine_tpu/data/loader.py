@@ -229,7 +229,7 @@ class Loader:
         for names in self.splits.values():
             for n in names:
                 p = self.root / "labels" / (Path(n).stem + ".txt")
-                labels, _, _ = parse_yolo_label_file(p)
+                labels, _, _ = parse_yolo_label_file(p, segment=self.task == "segment")
                 for c in labels:
                     key = "target" if self.cfg_train.get("use_one_class") else (
                         self.class_names[int(c)] if int(c) < len(self.class_names) else str(c)

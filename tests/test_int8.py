@@ -98,3 +98,45 @@ def test_int8_full_model_forward_runs():
         assert np.isfinite(np.asarray(leaf, np.float32)).all()
     b = np.asarray(dec["boxes"])
     assert (b >= -1e-5).all() and (b <= 1 + 1e-5).all()
+
+
+def test_accuracy_control_revert_kernels():
+    """nncf-style per-layer fallback (apps/quant.py): reverting a kernel
+    restores exact fp math for that layer while the others stay int8."""
+    from dfine_tpu.apps.quant import rank_by_quant_error, revert_kernels
+
+    rng = np.random.default_rng(1)
+
+    class TwoDense(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Dense(48, name="a")(x)
+            return nn.Dense(16, name="b")(x)
+
+    m = TwoDense()
+    x = jnp.asarray(rng.normal(size=(4, 32)).astype(np.float32))
+    v = m.init(jax.random.key(0), x)
+    v_np = jax.tree.map(np.asarray, v)
+    v8 = convert_params_int8(v_np)
+    assert count_int8(v8) == (2, 2)
+
+    ranking = rank_by_quant_error(v_np, v8)
+    assert len(ranking) == 2 and ranking[0][1] >= ranking[1][1] >= 0
+
+    worst = ranking[0][0]
+    v8r = revert_kernels(v8, v_np, [worst])
+    assert count_int8(v8r) == (1, 2)
+
+    # the reverted layer's sub-output must be exact fp; full model closer
+    y_fp = np.asarray(m.apply(v, x))
+    y_q = np.asarray(apply_int8(m, jax.tree.map(jnp.asarray, v8), x))
+    y_r = np.asarray(apply_int8(m, jax.tree.map(jnp.asarray, v8r), x))
+    err_q = np.abs(y_q - y_fp).max()
+    err_r = np.abs(y_r - y_fp).max()
+    assert err_r <= err_q + 1e-7
+
+    # reverting everything recovers fp bitwise (modulo bf16 dot in w8a16?
+    # no: fp kernels bypass the interceptor entirely)
+    v8all = revert_kernels(v8, v_np, [k for k, _ in ranking])
+    y_all = np.asarray(apply_int8(m, jax.tree.map(jnp.asarray, v8all), x))
+    np.testing.assert_allclose(y_all, y_fp, rtol=1e-6, atol=1e-6)
