@@ -33,6 +33,15 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return jax.tree.map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, P()
+            ),
+            tree,
+        )
     s = NamedSharding(mesh, P())
     return jax.device_put(tree, s)
 
@@ -42,7 +51,24 @@ def unreplicate(tree: Any) -> Any:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "dp") -> Any:
-    """Shard leading (batch) dim of every leaf across the mesh axis."""
+    """Shard leading (batch) dim of every leaf across the mesh axis.
+
+    Multi-host: ``batch`` is the GLOBAL batch (every process builds the same
+    one from the same seed — the DistributedSampler analog); each process
+    keeps its contiguous row slice and the slices are joined into one global
+    array across the pod."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        pid, pc = jax.process_index(), jax.process_count()
+
+        def conv(x):
+            x = np.asarray(x)
+            per = x.shape[0] // pc
+            local = x[pid * per : (pid + 1) * per]
+            return multihost_utils.host_local_array_to_global_array(local, mesh, P(axis))
+
+        return jax.tree.map(conv, batch)
     s = NamedSharding(mesh, P(axis))
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
@@ -78,10 +104,88 @@ def gather_predictions(preds: Sequence[Dict[str, np.ndarray]]) -> list:
 
     Under single-controller JAX the fully-addressable eval outputs already
     live on the host; the reference's ``all_gather_object`` ship-to-rank-0
-    (dist_utils.py:121-187) reduces to a list concat.  Multi-host pods would
-    use ``jax.experimental.multihost_utils.process_allgather`` here.
+    (dist_utils.py:121-187) reduces to a list concat.  On multi-host pods
+    use ``gather_objects`` below.
     """
     out = []
     for p in preds:
         out.extend(p if isinstance(p, list) else [p])
+    return out
+
+
+# ------------------------------------------------------------- multi-host --
+#
+# The reference reaches multiple nodes through torchrun's env:// rendezvous +
+# NCCL (dist_utils.py:12-43).  The JAX equivalent is one controller process
+# per host joined via jax.distributed.initialize; the SPMD mesh then spans
+# every host's chips and the SAME shard_map train step runs unchanged — only
+# host-side python (eval gather, early-stop flag) needs explicit cross-
+# process communication, provided by the helpers below.
+
+
+def init_multihost(
+    coordinator_address: str,
+    num_processes: int,
+    process_id: int,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> None:
+    """Join the multi-process JAX cluster (reference init_distributed_mode,
+    dist_utils.py:12-43).  After this, jax.devices() spans all hosts and
+    make_mesh() builds a pod-wide DP mesh."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def broadcast_scalar(value: float, src: int = 0) -> float:
+    """Every process returns src's value (reference dist_utils.py:104-118,
+    the early-stop flag broadcast)."""
+    if jax.process_count() == 1:
+        return value
+    from jax.experimental import multihost_utils
+
+    return float(
+        multihost_utils.broadcast_one_to_all(
+            np.asarray(value, np.float32), is_source=jax.process_index() == src
+        )
+    )
+
+
+def gather_objects(local: list) -> list:
+    """All-gather a list of arbitrary picklable objects across processes —
+    the reference's ``all_gather_object`` (dist_utils.py:121-187) for eval
+    predictions.  Objects are pickled to padded uint8 arrays and shipped
+    through ``process_allgather``; every process returns the concatenated
+    list ordered by process index."""
+    if jax.process_count() == 1:
+        return list(local)
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(list(local)), np.uint8)
+    n = np.asarray([payload.size], np.int64)
+    sizes = multihost_utils.process_allgather(n)  # [P, 1]
+    max_n = int(sizes.max())
+    padded = np.zeros(max_n, np.uint8)
+    padded[: payload.size] = payload
+    blobs = multihost_utils.process_allgather(padded)  # [P, max_n]
+    out = []
+    for i in range(jax.process_count()):
+        out.extend(pickle.loads(blobs[i, : int(sizes[i, 0])].tobytes()))
     return out

@@ -45,6 +45,18 @@ class Trainer:
     def __init__(self, cfg: ConfigNode):
         self.cfg = cfg
         t = cfg.train
+        # multi-host: join the pod BEFORE any device query (the reference's
+        # init_distributed_mode, dist_utils.py:12-43); must run first so the
+        # mesh below spans every host's chips
+        mh = (t.get("dp", {}) or {}).get("multihost", {}) or {}
+        if mh.get("enabled"):
+            from ..parallel import init_multihost
+
+            init_multihost(
+                str(mh["coordinator_address"]),
+                int(mh["num_processes"]),
+                int(mh["process_id"]),
+            )
         self.task = cfg.task
         self.segment = cfg.task == "segment"
         self.img_size = tuple(t.img_size)
@@ -214,9 +226,14 @@ class Trainer:
                 p["masks_rle"] = masks_to_rle(p.pop("masks"))
             return p, gt_entry
 
+        # multi-host: batches are strided across processes, results gathered
+        # below (reference DistributedSampler + all_gather_object semantics)
+        pid, pc = jax.process_index(), jax.process_count()
         workers = max(2, int(self.cfg.train.get("num_workers", 8)))
         with cf.ThreadPoolExecutor(workers) as pool:
-            for start in range(0, n, bs):
+            for bi, start in enumerate(range(0, n, bs)):
+                if pc > 1 and bi % pc != pid:
+                    continue
                 ids = list(range(start, min(start + bs, n)))
                 samples, gts = zip(*[ds.load_for_eval(i) for i in ids])
                 images = np.stack([s["image"] for s in samples], 0)
@@ -244,6 +261,11 @@ class Trainer:
                             Path(self.cfg.train.eval_preds_path), Path(img_path).stem,
                             raw, p, gt_entry, self.label_to_name,
                         )
+        if pc > 1:
+            from ..parallel import gather_objects
+
+            preds_all = gather_objects(preds_all)
+            gts_all = gather_objects(gts_all)
         v = Validator(
             gts_all, preds_all, self.label_to_name,
             conf_thresh=self.conf_thresh, iou_thresh=self.cfg.train.iou_thresh,
@@ -373,6 +395,8 @@ class Trainer:
     def save_checkpoint(self, tag: str) -> None:
         import json
 
+        if jax.process_index() != 0:  # rank-0-only writes (multi-host)
+            return
         save_state(self.path_to_save / f"{tag}.ckpt", jax.tree.map(np.asarray, self.state))
         # best_metric rides a sidecar so resume cannot regress best.ckpt
         # (ADVICE r1: previously reset to -1.0, so the first post-resume epoch
