@@ -119,11 +119,13 @@ class MSDeformableAttention(nn.Module):
         loc = ref[:, :, None, None, :2] + off  # [B,Q,H,P,2]
         # Kernel choice (measured, v5e, m@640 bs8): XLA autodiff's native
         # scatter-add for the value gradient takes ~103 ms/step (serialized
-        # duplicate-index scatter).  r1's Pallas one-hot-matmul lost (255-366
-        # ms fwd+bwd vs 213.5: O(HW*N) MXU work).  r2's sort+cumsum+binary-
-        # search segment-sum (sorted_segment_scatter) is the production
-        # backward; the switch (set_deform_bwd) keeps all three selectable
-        # for measurement.  Forward math is identical in every case.
+        # duplicate-index scatter) yet remains the production backward —
+        # every alternative measured SLOWER: r1 Pallas one-hot-matmul
+        # (255-366 ms fwd+bwd vs 213.5), r2 sort+cumsum segment-sum (1205 ms
+        # full step vs 365), r2 2x2-window scatter (20x).  The switch
+        # (set_deform_bwd) keeps all forms selectable for measurement; r3
+        # adds payload-reduction variants (concat / concat_bf16 / chunked).
+        # Forward math is identical in every case.
         from ..ops.deform_attn import deform_bwd_impl
 
         impl = deform_bwd_impl()

@@ -157,8 +157,59 @@ _DEFORM_BWD = "xla"
 
 def set_deform_bwd(impl: str) -> None:
     global _DEFORM_BWD
-    assert impl in ("xla", "sorted", "pallas", "window"), impl
+    assert impl in (
+        "xla", "sorted", "pallas", "window",
+        # r3 payload-reduction experiments (VERDICT r2 item #6):
+        "concat",       # ONE scatter per level (4 corners concatenated) fp32
+        "concat_bf16",  # same, bf16 payload (half the scatter bytes)
+        "chunked",      # destination split into VMEM-sized row chunks
+    ), impl
     _DEFORM_BWD = impl
+
+
+def concat_corner_scatter(
+    idx: jnp.ndarray,  # [R, N] int32, -1 = dropped
+    contrib: jnp.ndarray,  # [R, N, D]
+    hw: int,
+    acc_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """One scatter-add per level with every corner contribution concatenated
+    (plain autodiff issues 4 separate scatters), payload cast to acc_dtype
+    before the scatter (bf16 halves the scatter's HBM write traffic)."""
+    r, n = idx.shape
+    d = contrib.shape[-1]
+    safe = jnp.where(idx < 0, hw, idx)  # pad row absorbs dropped updates
+    out = jnp.zeros((r, hw + 1, d), acc_dtype)
+    out = out.at[jnp.arange(r)[:, None], safe].add(contrib.astype(acc_dtype))
+    return out[:, :hw].astype(jnp.float32)
+
+
+def chunked_scatter(
+    idx: jnp.ndarray,  # [R, N] int32, -1 = dropped
+    contrib: jnp.ndarray,  # [R, N, D]
+    hw: int,
+    n_chunks: int = 4,
+) -> jnp.ndarray:
+    """Scatter-add with the DESTINATION split into row chunks so each
+    scatter's output fits VMEM; each chunk re-reads the full update stream
+    with out-of-chunk rows masked to the pad slot."""
+    r, n = idx.shape
+    d = contrib.shape[-1]
+    ch = -(-hw // n_chunks)
+    outs = []
+    ar = jnp.arange(r)[:, None]
+    for k in range(n_chunks):
+        lo = k * ch
+        width = min(ch, hw - lo)
+        if width <= 0:
+            break
+        local = idx - lo
+        in_ck = (idx >= lo) & (local < width)
+        safe = jnp.where(in_ck, local, width)
+        o = jnp.zeros((r, width + 1, d), jnp.float32)
+        o = o.at[ar, safe].add(contrib)
+        outs.append(o[:, :width])
+    return jnp.concatenate(outs, axis=1)
 
 
 def deform_bwd_impl() -> str:
@@ -243,6 +294,12 @@ def ms_deform_attn_core_fused(
             scatter = lambda i, c, hw: rows_scatter_add(i, c, hw, interpret=interpret)
         elif scatter_impl == "window":
             scatter = None  # handled inline (2x2 window form)
+        elif scatter_impl == "concat":
+            scatter = concat_corner_scatter
+        elif scatter_impl == "concat_bf16":
+            scatter = lambda i, c, hw: concat_corner_scatter(i, c, hw, jnp.bfloat16)
+        elif scatter_impl == "chunked":
+            scatter = chunked_scatter
         else:
             scatter = sorted_segment_scatter
 

@@ -74,7 +74,7 @@ def test_sorted_segment_scatter_matches_dense():
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-5)
 
 
-@pytest.mark.parametrize("impl", ["sorted", "window"])
+@pytest.mark.parametrize("impl", ["sorted", "window", "concat", "concat_bf16", "chunked"])
 def test_fused_grads_match_autodiff(impl):
     """Every selectable custom-VJP backward (sorted segment-sum, 2x2-window
     scatter) must match XLA autodiff on all three inputs including
@@ -104,5 +104,8 @@ def test_fused_grads_match_autodiff(impl):
         ).sum(),
         argnums=(0, 1, 2),
     ))(value, loc, att)
+    # concat_bf16 trades the value-grad accumulation to bf16 (half scatter
+    # bytes) — ~3 significant digits is its design precision
+    tol = dict(rtol=5e-2, atol=2e-2) if impl == "concat_bf16" else dict(rtol=2e-4, atol=2e-4)
     for a, b in zip(g_ref, g_f):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)
