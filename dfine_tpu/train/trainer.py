@@ -354,6 +354,7 @@ class Trainer:
             row.update({k: v for k, v in metrics.items() if not isinstance(v, dict)})
             self.metrics_csv.log(row)
             self.wandb.log({f"val/{k}": v for k, v in row.items()}, step=epoch)
+            self.wandb.watch(self.state.params, grad_norm=agg.get("grad_norm"), step=epoch)
             self.logger.info(
                 f"epoch {epoch}: f1={metrics['f1']:.4f} mAP50={metrics.get('mAP_50', 0):.4f} "
                 f"decision={decision:.4f} ({dur:.0f}s)"

@@ -74,6 +74,35 @@ class WandbGate:
         if self.run is not None:
             self.run.log(data, step=step)
 
+    def watch(self, params, grad_norm: Optional[float] = None,
+              step: Optional[int] = None, sample: int = 8192) -> None:
+        """Parameter-histogram logging — the ``wandb.watch(model)`` analog
+        (reference train.py:118-123).  JAX grads are not retained between
+        steps, so per-epoch param histograms (per top-level module) + the
+        scalar grad norm stand in for torch's hook-based watch."""
+        if self.run is None:
+            return
+        try:
+            import numpy as np
+            import wandb
+
+            data: Dict = {}
+            for name, sub in params.items():
+                import jax
+
+                leaves = jax.tree.leaves(sub)
+                if not leaves:
+                    continue
+                flat = np.concatenate([np.asarray(l).reshape(-1) for l in leaves])
+                if flat.size > sample:
+                    flat = flat[:: max(1, flat.size // sample)]
+                data[f"params/{name}"] = wandb.Histogram(flat)
+            if grad_norm is not None:
+                data["grad_norm"] = float(grad_norm)
+            self.run.log(data, step=step)
+        except Exception:
+            pass
+
     def finish(self) -> None:
         if self.run is not None:
             self.run.finish()
