@@ -75,11 +75,17 @@ def build(enable_masks: bool, int8: bool = False):
     )
     variables = load_variables(model, (640, 640))
     if int8:
-        from dfine_tpu.infer.int8 import apply_int8, convert_params_int8
-
-        variables = jax.tree.map(
-            jnp.asarray, convert_params_int8(jax.tree.map(np.asarray, variables))
+        from dfine_tpu.infer.int8 import (
+            apply_int8,
+            convert_params_int8,
+            int8_mode,
+            pack_int8_params,
         )
+
+        v_np = convert_params_int8(jax.tree.map(np.asarray, variables))
+        if int8_mode() == "w8a16_packed":
+            v_np = pack_int8_params(v_np)
+        variables = jax.tree.map(jnp.asarray, v_np)
         run = lambda v, x: apply_int8(model, v, x, train=False)
     else:
         run = lambda v, x: model.apply(v, x, train=False)
@@ -192,7 +198,7 @@ def main():
     int8_rows = {}
     if os.environ.get("DFINE_BENCH_INT8", "1") != "0":
         del infer_det, var_det, infer_seg, var_seg
-        for mode in ("w8a16", "w8a8"):
+        for mode in ("w8a16_packed", "w8a16", "w8a8"):
             try:
                 int8_rows[mode] = _measure_int8_subprocess(mode)
             except Exception:

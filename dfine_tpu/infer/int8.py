@@ -60,20 +60,65 @@ def convert_params_int8(variables: Dict[str, Any]) -> Dict[str, Any]:
 # Compute mode, read at TRACE time:
 # * "w8a8"  — dynamic per-row activation quant, int8 x int8 -> int32 MXU dot.
 #   The numerically-quantized path; int8 microbenchmarks run 1.35x faster
-#   than bf16 on v5e, BUT on the axon dev runtime a large program containing
-#   int8 dots flips the session into a degraded sync-dispatch mode (~35 ms
-#   per call afterwards, measured tools/bisect_int8.py).  Default on
-#   standard Cloud TPU runtimes.
+#   than bf16 on v5e, BUT on the axon dev runtime a large program whose
+#   PARAMETERS include int8 buffers flips the session into a degraded
+#   sync-dispatch mode (~35 ms per call, measured tools/bisect_int8.py).
+#   Default on standard Cloud TPU runtimes.
 # * "w8a16" — weights stay int8 in HBM (half the weight traffic), dequantized
 #   to bf16 in-register before a bf16 dot.  Same int8 information content
-#   (the F1 gate sees identical weights), avoids the axon quirk.
+#   (the F1 gate sees identical weights) — but the params are still
+#   int8-TYPED, so the axon quirk fires for this mode too (NOTES.md #5).
+# * "w8a16_packed" — the axon dodge: int8 weights PACKED 4-per-uint32 param
+#   (pack_int8_params), unpacked to bf16 in-graph by bitwise ops the
+#   compiler fuses into the matmul read.  Same HBM weight bytes as int8,
+#   identical math to w8a16, and NO int8-typed buffers anywhere.
 _INT8_MODE = "w8a16"
 
 
 def set_int8_mode(mode: str) -> None:
     global _INT8_MODE
-    assert mode in ("w8a8", "w8a16"), mode
+    assert mode in ("w8a8", "w8a16", "w8a16_packed"), mode
     _INT8_MODE = mode
+
+
+def pack_int8_params(variables_int8: Dict[str, Any]) -> Dict[str, Any]:
+    """Repack every int8 kernel as uint32 words (4 weights along the input
+    dim, little-endian) so NO parameter buffer is int8-typed — dodging the
+    axon runtime's degraded mode while keeping int8's HBM footprint.  The
+    original input dim rides the quant collection (``in_dim``)."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(variables_int8["params"], sep="/")
+    quant = dict(traverse_util.flatten_dict(variables_int8["quant"], sep="/"))
+    out = {}
+    for k, v in flat.items():
+        a = np.asarray(v)
+        if a.dtype == np.int8 and a.ndim == 2:
+            in_, cols = a.shape
+            pad = (-in_) % 4
+            b = np.pad(a, ((0, pad), (0, 0))).astype(np.uint8).astype(np.uint32)
+            b = b.reshape((in_ + pad) // 4, 4, cols)
+            packed = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
+            out[k] = packed
+            dkey = "in_dim" if k == "kernel" else k[: -len("/kernel")] + "/in_dim"
+            quant[dkey] = np.asarray(in_, np.int32)
+        else:
+            out[k] = a
+    res = dict(variables_int8)
+    res["params"] = traverse_util.unflatten_dict(out, sep="/")
+    res["quant"] = traverse_util.unflatten_dict(quant, sep="/")
+    return res
+
+
+def _unpack_uint32_kernel(packed: jnp.ndarray, in_dim: int) -> jnp.ndarray:
+    """uint32 [in/4, out] -> int8-valued int32 [in, out] (sign-extended)."""
+    n4, cols = packed.shape
+    bytes_ = jnp.stack(
+        [(packed >> (8 * i)) & jnp.uint32(0xFF) for i in range(4)], axis=1
+    )  # [in/4, 4, out]
+    v = bytes_.reshape(n4 * 4, cols).astype(jnp.int32)
+    v = v - 256 * (v >= 128).astype(jnp.int32)  # sign extend
+    return v[:in_dim]
 
 
 def _int8_matmul(x: jnp.ndarray, kq: jnp.ndarray, w_scale: jnp.ndarray) -> jnp.ndarray:
@@ -110,10 +155,20 @@ def int8_interceptor(next_fun, args, kwargs, context):
         and m.scope.has_variable("params", "kernel")
     ):
         k = m.scope.get_variable("params", "kernel")
-        if k is not None and k.dtype == jnp.int8 and k.ndim == 2:
+        quantized = k is not None and k.ndim == 2 and k.dtype in (jnp.int8, jnp.uint32)
+        if quantized:
             scale = m.scope.get_variable("quant", "scale")
             x = args[0]
-            y = _int8_matmul(x, k, scale)
+            if k.dtype == jnp.uint32:  # w8a16_packed storage
+                kq = _unpack_uint32_kernel(k, args[0].shape[-1])
+                k_bf = kq.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)
+                y = jax.lax.dot_general(
+                    x.astype(jnp.bfloat16), k_bf,
+                    (((x.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                y = _int8_matmul(x, k, scale)
             if m.use_bias:
                 bias = m.scope.get_variable("params", "bias")
                 y = y + bias.astype(jnp.float32)
@@ -129,9 +184,16 @@ def apply_int8(model, variables_int8, *args, **kwargs):
         return model.apply(variables_int8, *args, **kwargs)
 
 
+def int8_mode() -> str:
+    return _INT8_MODE
+
+
 def count_int8(variables_int8) -> Tuple[int, int]:
     """(quantized kernels, total kernel leaves) — for reporting."""
     flat = traverse_util.flatten_dict(variables_int8["params"], sep="/")
-    kern = [k for k in flat if k.endswith("/kernel")]
-    q = [k for k in kern if np.asarray(flat[k]).dtype == np.int8]
+    kern = [k for k in flat if k.endswith("/kernel") or k == "kernel"]
+    q = [
+        k for k in kern
+        if np.asarray(flat[k]).dtype in (np.int8, np.uint32)
+    ]
     return len(q), len(kern)

@@ -140,3 +140,38 @@ def test_accuracy_control_revert_kernels():
     v8all = revert_kernels(v8, v_np, [k for k, _ in ranking])
     y_all = np.asarray(apply_int8(m, jax.tree.map(jnp.asarray, v8all), x))
     np.testing.assert_allclose(y_all, y_fp, rtol=1e-6, atol=1e-6)
+
+
+def test_w8a16_packed_matches_w8a16():
+    """uint32-packed storage (the axon int8-param-dodge) must reproduce the
+    w8a16 path exactly: unpack(pack(q)) == q and identical model output."""
+    from dfine_tpu.infer.int8 import (
+        _unpack_uint32_kernel,
+        pack_int8_params,
+        set_int8_mode,
+    )
+
+    rng = np.random.default_rng(2)
+    # odd input dim exercises the pad-to-multiple-of-4 path
+    q = rng.integers(-127, 128, size=(67, 24)).astype(np.int8)
+    packed = pack_int8_params(
+        {"params": {"kernel": q}, "quant": {"scale": np.ones(24, np.float32)}}
+    )
+    ku = np.asarray(packed["params"]["kernel"])
+    assert ku.dtype == np.uint32 and ku.shape == (17, 24)
+    unpacked = np.asarray(_unpack_uint32_kernel(jnp.asarray(ku), 67))
+    np.testing.assert_array_equal(unpacked, q.astype(np.int32))
+
+    m = nn.Dense(24)
+    x = jnp.asarray(rng.normal(size=(4, 67)).astype(np.float32))
+    v = m.init(jax.random.key(0), x)
+    v8 = convert_params_int8(jax.tree.map(np.asarray, v))
+    v8p = pack_int8_params(v8)
+    assert not any(
+        np.asarray(l).dtype == np.int8
+        for l in jax.tree.leaves(v8p)
+    ), "packed tree must hold no int8-typed buffers"
+    set_int8_mode("w8a16")
+    y16 = np.asarray(apply_int8(m, jax.tree.map(jnp.asarray, v8), x))
+    y16p = np.asarray(apply_int8(m, jax.tree.map(jnp.asarray, v8p), x))
+    np.testing.assert_array_equal(y16, y16p)
