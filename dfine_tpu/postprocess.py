@@ -210,8 +210,23 @@ def postprocess_predictions(
             "all_scores": scores[b],
         }
         if masks is not None:
-            mk = masks_to_original(masks[b][keep], proc_hw, (oh, ow), keep_ratio, pad_tl)
+            # masks may cover only the top-K (score-sorted) queries (the
+            # trainer/bench ship K=100 to bound D2H); kept predictions past
+            # that tail get an empty mask — unreachable at standard conf
+            # thresholds since keeps are a prefix of the score order
+            km = masks.shape[1]
+            keep_arr = np.broadcast_to(np.asarray(keep), scores[b].shape)
+            mk = masks_to_original(
+                masks[b][keep_arr[:km]].astype(np.float32),
+                proc_hw, (oh, ow), keep_ratio, pad_tl,
+            )
             binary = (mk >= conf_thresh).astype(np.uint8)
+            n_kept = int(keep_arr.sum())
+            if binary.shape[0] < n_kept:
+                binary = np.concatenate(
+                    [binary, np.zeros((n_kept - binary.shape[0],) + binary.shape[1:],
+                                      np.uint8)], 0
+                )
             out["masks"] = cleanup_masks(binary, out["boxes"])
         results.append(out)
     return results

@@ -191,9 +191,15 @@ class Trainer:
 
     def _eval_decode(self, variables, images):
         out = self.model.apply(variables, images, train=False)
-        return topk_decode(
+        dec = topk_decode(
             out["pred_logits"], out["pred_boxes"], 300, masks=out.get("pred_masks")
         )
+        if "masks" in dec:
+            # D2H diet (same rationale as bench.py TOP_MASKS): only the 100
+            # strongest queries can plausibly clear conf_thresh, and bf16
+            # halves the remaining bytes — 60x less tunnel traffic per batch
+            dec["masks"] = dec["masks"][:, :100].astype(jnp.bfloat16)
+        return dec
 
     def evaluate(self, split: str = "val", extended: bool = False,
                  save_previews: bool = False) -> Dict:
