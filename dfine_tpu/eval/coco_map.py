@@ -255,7 +255,11 @@ def compute_map(
             g_geo = np.asarray(gt["boxes"], np.float32).reshape(-1, 4)
             p_area_all, g_area_all = _box_area(p_geo), _box_area(g_geo)
         else:
-            p_geo, g_geo = pred["masks"], gt["masks"]
+            # None == no masks for this image (e.g. zero kept predictions)
+            p_geo = pred.get("masks")
+            g_geo = gt.get("masks")
+            p_geo = [] if p_geo is None else p_geo
+            g_geo = [] if g_geo is None else g_geo
             p_area_all, g_area_all = _mask_area(p_geo), _mask_area(g_geo)
 
         for c in classes:

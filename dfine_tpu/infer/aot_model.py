@@ -30,9 +30,12 @@ class AOTModel(BaseServing):
 
         def infer(variables, images):
             out = model.apply(variables, images, train=False)
-            return topk_decode(
+            dec = topk_decode(
                 out["pred_logits"], out["pred_boxes"], k, masks=out.get("pred_masks")
             )
+            if "masks" in dec:  # D2H diet: top-100 strongest, bf16 (see bench.py)
+                dec["masks"] = dec["masks"][:, :100].astype(jnp.bfloat16)
+            return dec
 
         self.variables = jax.device_put(self.variables)
         self._infer_fn = infer

@@ -22,9 +22,12 @@ class JAXModel(BaseServing):
         @jax.jit
         def infer(variables, images):
             out = model.apply(variables, images, train=False)
-            return topk_decode(
+            dec = topk_decode(
                 out["pred_logits"], out["pred_boxes"], k, masks=out.get("pred_masks")
             )
+            if "masks" in dec:  # D2H diet: top-100 strongest, bf16 (see bench.py)
+                dec["masks"] = dec["masks"][:, :100].astype(jnp.bfloat16)
+            return dec
 
         self._infer = infer
 
@@ -55,8 +58,11 @@ class Int8Model(JAXModel):
         @jax.jit
         def infer(variables, images):
             out = apply_int8(model, variables, images, train=False)
-            return topk_decode(
+            dec = topk_decode(
                 out["pred_logits"], out["pred_boxes"], k, masks=out.get("pred_masks")
             )
+            if "masks" in dec:  # D2H diet: top-100 strongest, bf16 (see bench.py)
+                dec["masks"] = dec["masks"][:, :100].astype(jnp.bfloat16)
+            return dec
 
         self._infer = infer

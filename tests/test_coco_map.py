@@ -223,3 +223,22 @@ def test_many_dets_maxdet_truncation_matches_oracle():
     ref = oracle_map([pred], [gt])
     for k in KEYS:
         assert ours[k] == pytest.approx(ref[k], abs=1e-9), k
+
+
+def test_segm_image_with_none_masks():
+    """An image with zero kept predictions carries masks=None; segm mAP must
+    treat it as empty, not crash (regression: crashed the trainer eval the
+    first epoch any OTHER image produced masks)."""
+    m = np.zeros((1, 32, 32), np.uint8)
+    m[0, 4:20, 4:20] = 1
+    gts = [
+        {"labels": [0], "masks": m},
+        {"labels": [0], "masks": m},
+    ]
+    preds = [
+        {"labels": [0], "scores": [0.9], "masks": m},
+        {"labels": np.zeros((0,), int), "scores": np.zeros((0,)), "masks": None},
+    ]
+    r = compute_map(preds, gts, iou_type="segm")
+    # 1 of 2 GTs found: 101-point AP = 51/101 (precision 1.0 up to rc 0.5)
+    assert r["map_50"] == pytest.approx(51 / 101)

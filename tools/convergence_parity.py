@@ -99,6 +99,8 @@ def cmd_ours(args):
 
     out_dir = Path(args.root) / "run_ours"
     cfg = build_cfg(Path(args.root), args.epochs, out_dir)
+    if getattr(args, "resume", False):
+        cfg.train["resume"] = True
     t0 = time.time()
     trainer = Trainer(cfg)
     final = trainer.train()
@@ -363,6 +365,8 @@ if __name__ == "__main__":
             p.add_argument("--n-val", type=int, default=80)
         if name in ("ours", "torch"):
             p.add_argument("--epochs", type=int, default=40)
+        if name == "ours":
+            p.add_argument("--resume", action="store_true")
         if name == "torch":
             p.add_argument("--eval-every", type=int, default=5)
             p.add_argument("--threads", type=int, default=1)
