@@ -99,6 +99,16 @@ class Validator:
         box_map = compute_map(map_preds, gts, iou_type="bbox")
         metrics["mAP_50"] = box_map["map_50"]
         metrics["mAP_50_95"] = box_map["map"]
+        if extended:
+            # full COCOeval surface (torchmetrics key style, reference
+            # validator.py:50-64): size-range APs, AR tiers, per-class AP
+            for k in ("map_75", "map_small", "map_medium", "map_large",
+                      "mar_1", "mar_10", "mar_100",
+                      "mar_small", "mar_medium", "mar_large"):
+                metrics.setdefault("extended_metrics", {})[k] = box_map[k]
+            for c, ap in box_map["map_per_class"].items():
+                name = self.label_to_name.get(c, str(c))
+                metrics["extended_metrics"][f"map_{name}"] = ap
         if self.use_masks and not ignore_masks:
             # NOTE: all_* masks are not kept (RAM); segm mAP uses the
             # thresholded set, mirroring the reference's bench behavior.
