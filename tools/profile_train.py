@@ -174,7 +174,8 @@ def main():
     ap.add_argument("--data", default="",
                     help="loader mode: dataset root (generated in /tmp if empty)")
     ap.add_argument("--bwd", default="xla",
-                    choices=["xla", "sorted", "pallas", "window"])
+                    choices=["xla", "sorted", "pallas", "window",
+                             "concat", "concat_bf16", "chunked"])
     ap.add_argument("--losses", default="",
                     help="comma list overriding criterion losses, e.g. vfl,boxes")
     ap.add_argument("--iters", type=int, default=10)
