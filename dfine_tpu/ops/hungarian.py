@@ -5,11 +5,26 @@ image (src/d_fine/matcher.py:112-120); SURVEY.md ranks that host hop as hot
 loop #3.  The TPU backend here does not support host callbacks at all, and a
 round-trip would stall the step pipeline anyway — so we run the SAME
 shortest-augmenting-path algorithm (Jonker–Volgenant with dual potentials)
-as a jit-compiled JAX function:
+as a jit-compiled JAX function, with a row-reduction initialization:
 
-* all per-column work is a [Q]-wide vector op (VPU-friendly),
-* the row loop is a ``fori_loop`` of G iterations, the path growth a
-  ``while_loop`` bounded by G+1 (each intermediate column is assigned),
+* **row reduction** (vector ops, no loop): duals start at
+  ``u[i] = min_j cost[i, j]``, ``v = 0``, and every row whose argmin column
+  is uncontested is pre-assigned to it.  Each pre-assigned pair has reduced
+  cost exactly 0 and ``v = 0`` keeps the dual feasible for the RECTANGULAR
+  problem (column constraints are inequalities, so optimality needs
+  ``v <= 0`` — which is also why a column-reduction init would be wrong
+  here), so the primal-dual invariant of the augmentation phase holds from
+  the start.  D-FINE's matching problems are highly rectangular
+  (G_valid ~ 5..50 rows vs Q = 300+ query columns), so argmin collisions
+  are rare and the sequential phase runs only a handful of times;
+* rows still free after the reduction are compacted to the FRONT of a
+  pending list, and the augmentation phase is a ``while_loop`` over just
+  ``n_pending`` of them — under ``vmap`` that loop runs
+  ``max_over_lanes(n_pending)`` times instead of a fixed G, which is the
+  difference between ~100 sequential Dijkstra searches and ~a few;
+* all per-column work inside a search is a [Q]-wide vector op
+  (VPU-friendly); the path growth is a ``while_loop`` bounded by G+1 (each
+  intermediate column is assigned);
 * the whole solver is ``vmap``-ed over every (output-set, image) problem in
   the batch, so S*B tiny LAPs run as one fused kernel.
 
@@ -30,17 +45,34 @@ def _solve_one(cost: jnp.ndarray, row_valid: jnp.ndarray) -> jnp.ndarray:
     """cost: [G, Q] float32 (G <= Q); row_valid: [G] bool.  Returns col4row
     [G] int32 with -1 for invalid rows.
 
-    Invalid (padded-GT) rows are SKIPPED: their augmenting-path search
-    terminates immediately and the augmentation loop never runs, so under
-    vmap they stop inflating the worst-case iteration count whenever every
-    lane's row is padded.  This matches the reference exactly — scipy solves
+    Invalid (padded-GT) rows are never entered into the reduction or the
+    pending list, so the result matches the reference exactly — scipy solves
     the REDUCED per-image problem (matcher.py:112-120); padded rows never
     existed there."""
     g, q = cost.shape
+    rows = jnp.arange(g, dtype=jnp.int32)
 
-    def outer(cur, carry):
-        u, v, col4row, row4col = carry
-        active = row_valid[cur]
+    # ---- row reduction (pure vector ops): u[i] = row min, v = 0
+    u_min = jnp.min(cost, axis=1)
+    jmin = jnp.argmin(cost, axis=1).astype(jnp.int32)
+    u0 = jnp.where(row_valid, u_min, 0.0)
+    # column j goes to the smallest-index valid row whose argmin is j;
+    # collision losers join the pending list below.
+    scatter_idx = jnp.where(row_valid, jmin, q)
+    row4col = jnp.full((q,), g, jnp.int32).at[scatter_idx].min(rows, mode="drop")
+    won = row_valid & (row4col[jnp.clip(jmin, 0, q - 1)] == rows)
+    col4row = jnp.where(won, jmin, -1)
+    row4col = jnp.where(row4col < g, row4col, -1)
+    v0 = jnp.zeros((q,), jnp.float32)
+
+    # rows still free: compact them to the front, loop over exactly those
+    pending = row_valid & (col4row < 0)
+    n_pending = pending.sum().astype(jnp.int32)
+    order = jnp.argsort(jnp.where(pending, rows, g + rows)).astype(jnp.int32)
+
+    def outer(carry):
+        k, u, v, col4row, row4col = carry
+        cur = order[k]
 
         # --- grow shortest augmenting path from row `cur`
         def path_cond(st):
@@ -63,7 +95,7 @@ def _solve_one(cost: jnp.ndarray, row_valid: jnp.ndarray) -> jnp.ndarray:
             return sink, i, minval, shortest, pred, done, row_scanned
 
         init = (
-            jnp.where(active, jnp.int32(-1), jnp.int32(0)),  # inactive: done
+            jnp.int32(-1),
             cur,
             jnp.float32(0.0),
             jnp.full((q,), _INF, jnp.float32),
@@ -76,7 +108,6 @@ def _solve_one(cost: jnp.ndarray, row_valid: jnp.ndarray) -> jnp.ndarray:
         )
 
         # --- dual updates over scanned sets
-        rows = jnp.arange(g)
         short_at_assigned = shortest[jnp.clip(col4row, 0, q - 1)]  # [G]
         u = u + jnp.where(
             rows == cur,
@@ -98,16 +129,16 @@ def _solve_one(cost: jnp.ndarray, row_valid: jnp.ndarray) -> jnp.ndarray:
             return r == cur, nxt, col4row, row4col
 
         _, _, col4row, row4col = jax.lax.while_loop(
-            aug_cond, aug_body,
-            (jnp.logical_not(active), sink, col4row, row4col),
+            aug_cond, aug_body, (jnp.bool_(False), sink, col4row, row4col)
         )
-        return u, v, col4row, row4col
+        return k + jnp.int32(1), u, v, col4row, row4col
 
-    u0 = jnp.zeros((g,), jnp.float32)
-    v0 = jnp.zeros((q,), jnp.float32)
-    c0 = jnp.full((g,), -1, jnp.int32)
-    r0 = jnp.full((q,), -1, jnp.int32)
-    _, _, col4row, _ = jax.lax.fori_loop(0, g, outer, (u0, v0, c0, r0))
+    def outer_cond(carry):
+        return carry[0] < n_pending
+
+    _, _, _, col4row, _ = jax.lax.while_loop(
+        outer_cond, outer, (jnp.int32(0), u0, v0, col4row, row4col)
+    )
     return col4row
 
 

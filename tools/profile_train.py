@@ -39,6 +39,26 @@ def timed(fn, *args, iters=10, warmup=2):
     return float(np.mean(best) * 1000.0)
 
 
+def timed_chain(step, x0, fb0, iters=30):
+    """Amortized timing with a forced data dependency between iterations.
+
+    The axon runtime can report buffers ready before execution has finished
+    (NOTES.md: per-call-sync fwd+bwd measures 5.3 ms vs 11.8 amortized), so
+    per-call block_until_ready UNDER-reports.  ``step(x0, fb)`` is a jitted
+    function returning a scalar feedback that depends on its full result;
+    feeding it back makes cross-iteration overlap impossible, so total wall /
+    iters is a true per-call device cost (the protocol the full-step
+    measurement gets for free from its state chain)."""
+    fb = step(x0, fb0)
+    fb = step(x0, fb)
+    jax.block_until_ready(fb)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fb = step(x0, fb)
+    jax.block_until_ready(fb)
+    return (time.perf_counter() - t0) / iters * 1000.0
+
+
 def make_batch(bs, img, gt, num_classes, seed=0):
     rng = np.random.default_rng(seed)
     images = jnp.asarray(rng.uniform(size=(bs, img, img, 3)).astype(np.float32))
@@ -179,6 +199,9 @@ def main():
     ap.add_argument("--losses", default="",
                     help="comma list overriding criterion losses, e.g. vfl,boxes")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--chain", action="store_true",
+                    help="chained amortized protocol (defeats the runtime's "
+                         "async-readiness under-reporting; see timed_chain)")
     args = ap.parse_args()
 
     if args.what == "loader":
@@ -245,10 +268,25 @@ def main():
                 if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.inexact)
             )
 
-        g = jax.jit(jax.grad(loss_fn))
-        ms = timed(g, variables["params"], variables.get("batch_stats", {}),
-                   batch, jax.random.key(2), iters=args.iters)
-        print(f"model fwd+bwd trivial-loss (bwd={args.bwd}): {ms:.1f} ms")
+        if args.chain:
+            @jax.jit
+            def step(x, fb):
+                imgs = batch["images"] + fb * 1e-30
+                gr = jax.grad(loss_fn)(
+                    variables["params"], variables.get("batch_stats", {}),
+                    {**batch, "images": imgs}, jax.random.key(2),
+                )
+                lead = jax.tree.leaves(gr)[0]
+                return lead.astype(jnp.float32).sum()
+
+            ms = timed_chain(step, None, jnp.float32(0.0), iters=args.iters)
+            proto = "chained"
+        else:
+            g = jax.jit(jax.grad(loss_fn))
+            ms = timed(g, variables["params"], variables.get("batch_stats", {}),
+                       batch, jax.random.key(2), iters=args.iters)
+            proto = "per-call"
+        print(f"model fwd+bwd trivial-loss (bwd={args.bwd}, {proto}): {ms:.1f} ms")
     elif args.what == "fwdbwd_crit":
         # the true training gradient: model + criterion (no optimizer/EMA)
         def loss_fn(params, bs_, batch, key):
@@ -282,9 +320,20 @@ def main():
             return criterion_forward(o, targets, crit)["total"]
 
         fleaves = [v for v, f in zip(flt, is_f) if f]
-        g = jax.jit(jax.grad(crit_loss))
-        ms = timed(g, fleaves, batch["targets"], iters=args.iters)
-        print(f"criterion fwd+bwd (incl. Hungarian): {ms:.1f} ms")
+        if args.chain:
+            @jax.jit
+            def step(x, fb):
+                fl = [fleaves[0] + fb * 1e-30] + fleaves[1:]
+                gr = jax.grad(crit_loss)(fl, batch["targets"])
+                return gr[0].astype(jnp.float32).sum()
+
+            ms = timed_chain(step, None, jnp.float32(0.0), iters=args.iters)
+            proto = "chained"
+        else:
+            g = jax.jit(jax.grad(crit_loss))
+            ms = timed(g, fleaves, batch["targets"], iters=args.iters)
+            proto = "per-call"
+        print(f"criterion fwd+bwd (incl. Hungarian, {proto}): {ms:.1f} ms")
     elif args.what == "hungarian":
         # matcher alone on REAL model-output costs (cost stats drive the
         # augmenting-path lengths, so random-cost micro-benchmarks mislead)
@@ -303,10 +352,20 @@ def main():
             for s in sets
         ])
         costs = jax.block_until_ready(jax.lax.stop_gradient(costs))
-        f = jax.jit(lambda c: solve_matchings(c, tgt["valid"]))
-        ms = timed(f, costs, iters=args.iters)
+        if args.chain:
+            @jax.jit
+            def step(c, fb):
+                m, gq, gt_, gv = solve_matchings(c + fb * 1e-30, tgt["valid"])
+                return m.astype(jnp.float32).sum()
+
+            ms = timed_chain(step, costs, jnp.float32(0.0), iters=args.iters)
+            proto = "chained"
+        else:
+            f = jax.jit(lambda c: solve_matchings(c, tgt["valid"]))
+            ms = timed(f, costs, iters=args.iters)
+            proto = "per-call"
         print(f"matcher (solve_matchings, {costs.shape[0]}x{costs.shape[1]} "
-              f"problems of {costs.shape[2]}x{costs.shape[3]}): {ms:.1f} ms")
+              f"problems of {costs.shape[2]}x{costs.shape[3]}, {proto}): {ms:.1f} ms")
     elif args.what == "optim":
         grads = jax.tree.map(lambda p: jnp.ones_like(p) * 1e-3, variables["params"])
         state = tx.init(variables["params"])
