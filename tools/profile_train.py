@@ -276,8 +276,12 @@ def main():
                     variables["params"], variables.get("batch_stats", {}),
                     {**batch, "images": imgs}, jax.random.key(2),
                 )
-                lead = jax.tree.leaves(gr)[0]
-                return lead.astype(jnp.float32).sum()
+                # depend on EVERY grad leaf so none is dead-code-eliminated
+                # (returning just gr[0] lets XLA drop most of the backward —
+                # the r3 "11.8 ms fwd+bwd" artifact, see NOTES.md)
+                return sum(
+                    g.astype(jnp.float32).sum() for g in jax.tree.leaves(gr)
+                )
 
             ms = timed_chain(step, None, jnp.float32(0.0), iters=args.iters)
             proto = "chained"
@@ -297,10 +301,32 @@ def main():
             )
             return criterion_forward(out, batch["targets"], crit)["total"]
 
-        g = jax.jit(jax.grad(loss_fn))
-        ms = timed(g, variables["params"], variables.get("batch_stats", {}),
-                   batch, jax.random.key(2), iters=args.iters)
-        print(f"model+criterion fwd+bwd (bwd={args.bwd}): {ms:.1f} ms")
+        if args.chain:
+            bs0 = variables.get("batch_stats", {})
+            key0 = jax.random.key(2)
+
+            @jax.jit
+            def step(params, fb):
+                p = jax.tree.map(lambda x: x, params)
+                first = jax.tree.leaves(p)[0]
+                p = jax.tree.map(
+                    lambda x: x + fb * 1e-30 if x is first else x, p
+                )
+                gr = jax.grad(loss_fn)(p, bs0, batch, key0)
+                # depend on EVERY grad leaf so none is dead-code-eliminated
+                return sum(
+                    g.astype(jnp.float32).sum() for g in jax.tree.leaves(gr)
+                )
+
+            ms = timed_chain(step, variables["params"], jnp.float32(0.0),
+                             iters=args.iters)
+            proto = "chained"
+        else:
+            g = jax.jit(jax.grad(loss_fn))
+            ms = timed(g, variables["params"], variables.get("batch_stats", {}),
+                       batch, jax.random.key(2), iters=args.iters)
+            proto = "per-call"
+        print(f"model+criterion fwd+bwd (bwd={args.bwd}, {proto}): {ms:.1f} ms")
     elif args.what == "criterion":
         out, _ = model.apply(
             variables, batch["images"], batch["targets"], train=True,
@@ -325,7 +351,8 @@ def main():
             def step(x, fb):
                 fl = [fleaves[0] + fb * 1e-30] + fleaves[1:]
                 gr = jax.grad(crit_loss)(fl, batch["targets"])
-                return gr[0].astype(jnp.float32).sum()
+                # depend on EVERY grad so none is dead-code-eliminated
+                return sum(g.astype(jnp.float32).sum() for g in gr)
 
             ms = timed_chain(step, None, jnp.float32(0.0), iters=args.iters)
             proto = "chained"
