@@ -42,6 +42,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache (cold-cache eager/jit compiles cost minutes on
+# this runtime; see dfine_tpu/models/__init__.py::jit_init)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/dfine_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 # masks fetched for this many top queries (bf16): 100x160x160x2B = 5 MB D2H,
 # covering every plausible above-threshold detection (reference keeps the
 # conf-filtered subset of 300)
@@ -52,7 +58,9 @@ WARMUP = 5
 def load_variables(model, img_hw):
     path = os.environ.get("DFINE_BENCH_CKPT", "")
     x = jnp.zeros((1, *img_hw, 3), jnp.float32)
-    template = model.init({"params": jax.random.key(0)}, x, train=False)
+    from dfine_tpu.models import jit_init
+
+    template = jit_init(model, {"params": jax.random.key(0)}, x, train=False)
     if not path:
         return template
     from pathlib import Path

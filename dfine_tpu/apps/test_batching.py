@@ -25,7 +25,9 @@ def main(argv=None):
     model = build_model(cfg.model_name, n_out, cfg.task == "segment", dtype=jnp.bfloat16)
     h, w = t.img_size
     x1 = jnp.zeros((1, h, w, 3), jnp.float32)
-    variables = model.init({"params": jax.random.key(0)}, x1, train=False)
+    from ..models import jit_init
+
+    variables = jit_init(model, {"params": jax.random.key(0)}, x1, train=False)
 
     def infer(v, imgs):
         out = model.apply(v, imgs, train=False)

@@ -80,7 +80,9 @@ class BaseServing:
         import jax
 
         x = jnp.zeros((1, *self.input_size, 3), jnp.float32)
-        template = self.model.init({"params": jax.random.key(0)}, x, train=False)
+        from ..models import jit_init
+
+        template = jit_init(self.model, {"params": jax.random.key(0)}, x, train=False)
         if model_path is None:
             return template
         p = Path(model_path)

@@ -107,7 +107,10 @@ class Trainer:
             mh, mw = self.img_size[0] // 4, self.img_size[1] // 4
             dummy_tgt["masks"] = jnp.zeros((1, g, mh, mw), jnp.float32)
             dummy_tgt["mask_valid"] = jnp.zeros((1, g), bool)
-        variables = self.model.init(
+        from ..models import jit_init
+
+        variables = jit_init(
+            self.model,
             {"params": jax.random.key(t.seed), "dn": jax.random.key(t.seed + 1)},
             dummy_img, dummy_tgt, train=True,
         )

@@ -50,7 +50,9 @@ def main():
     }
     model = build_model("n", num_classes=3, enable_mask_head=False, dtype=jnp.bfloat16)
     x = jnp.asarray(np.random.default_rng(0).uniform(size=(1, 320, 320, 3)).astype(np.float32))
-    v = model.init({"params": jax.random.key(0)}, x, train=False)
+    from dfine_tpu.models import jit_init
+
+    v = jit_init(model, {"params": jax.random.key(0)}, x, train=False)
     f_bf = jax.jit(lambda v, x: model.apply(v, x, train=False))
     print("bf16 before:", round(bench(f_bf, v, x), 3), flush=True)
     v8, nq = convert_filtered(jax.tree.map(np.asarray, v), preds[which])

@@ -23,6 +23,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: the big train-step programs take 1-3 min to
+# compile; without this every profiling run repays them (and with a cold
+# cache, eager init pays ~minutes of per-op mini-compiles).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/dfine_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def timed(fn, *args, iters=10, warmup=2):
     for _ in range(warmup):
@@ -136,7 +143,10 @@ def profile_loader(args):
 
     model = build_model(args.size, 3, enable_mask_head=False, dtype=jnp.bfloat16)
     batch0 = make_batch(args.bs, args.img, args.gt, 3)
-    variables = model.init(
+    from dfine_tpu.models import jit_init
+
+    variables = jit_init(
+        model,
         {"params": jax.random.key(0), "dn": jax.random.key(1)},
         batch0["images"][:1], jax.tree.map(lambda x: x[:1], batch0["targets"]),
         train=True,
@@ -225,7 +235,10 @@ def main():
         else CriterionConfig(num_classes=args.classes)
     )
 
-    variables = model.init(
+    from dfine_tpu.models import jit_init
+
+    variables = jit_init(
+        model,
         {"params": jax.random.key(0), "dn": jax.random.key(1)},
         batch["images"][:1], jax.tree.map(lambda x: x[:1], batch["targets"]),
         train=True,
