@@ -192,7 +192,10 @@ class DetectionDataset:
             valid[:n] = True
 
         out: Sample = {
-            "image": (s["image"].astype(np.float32) / 255.0),
+            # uint8 stays uint8: the model normalizes integer inputs in-graph
+            # (models/dfine.py), so the host ships 4x fewer bytes and skips
+            # the per-sample fp32 conversion on this 1-core host.
+            "image": np.ascontiguousarray(s["image"]),
             "labels": labels,
             "boxes": np.clip(boxes, 0.0, 1.0),
             "valid": valid,

@@ -1,9 +1,12 @@
 """DFINE model assembly: backbone -> encoder -> decoder.
 
 Mirror of reference src/d_fine/dfine.py:19-70 as one flax module + a builder.
-Input contract: NHWC float images in [0, 1]; output dict matches the
-reference I/O contract (SURVEY.md L1): ``pred_logits [B,Q,C]``,
-``pred_boxes [B,Q,4]`` cxcywh normalized, optional ``pred_masks``.
+Input contract: NHWC images — either float in [0, 1] or raw uint8 (the
+module normalizes integer inputs to [0, 1] in-graph, so hosts can ship
+uint8 frames: 4x less H2D traffic and no per-batch fp32 conversion on the
+CPU).  Output dict matches the reference I/O contract (SURVEY.md L1):
+``pred_logits [B,Q,C]``, ``pred_boxes [B,Q,4]`` cxcywh normalized,
+optional ``pred_masks``.
 """
 
 from __future__ import annotations
@@ -31,6 +34,8 @@ class DFINE(nn.Module):
 
     @nn.compact
     def __call__(self, x, targets: Optional[Dict[str, Any]] = None, train: bool = False):
+        if jnp.issubdtype(x.dtype, jnp.integer):  # uint8 host frames
+            x = x.astype(jnp.float32) / 255.0
         cfg = model_config(self.size)
         cfg = {k: dict(v) for k, v in cfg.items()}  # shallow-copy sections
         for path, value in self.cfg_overrides:

@@ -61,8 +61,8 @@ def test_dataset_static_shapes(dataset_dir):
     for idx in range(len(ds)):
         s = ds[idx]
         assert s["image"].shape == (320, 320, 3)
-        assert s["image"].dtype == np.float32
-        assert 0.0 <= s["image"].min() and s["image"].max() <= 1.0
+        # uint8 contract: the model normalizes integer inputs in-graph
+        assert s["image"].dtype == np.uint8
         assert s["labels"].shape == (10,)
         assert s["boxes"].shape == (10, 4)
         assert s["valid"].shape == (10,)

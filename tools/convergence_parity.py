@@ -182,7 +182,9 @@ def _eval_torch(model, loader, cfg, torch):
         for start in range(0, len(ds), bs):
             ids = list(range(start, min(start + bs, len(ds))))
             samples, gts = zip(*[ds.load_for_eval(i) for i in ids])
-            images = np.stack([s["image"] for s in samples], 0)  # NHWC float 0-1
+            images = np.stack([s["image"] for s in samples], 0)  # NHWC uint8
+            if images.dtype == np.uint8:  # dataset ships uint8; torch wants 0-1
+                images = images.astype(np.float32) / 255.0
             x = torch.as_tensor(images.transpose(0, 3, 1, 2), dtype=torch.float32)
             out = model(x)
             logits = out["pred_logits"].numpy()

@@ -143,6 +143,9 @@ def profile_loader(args):
 
     model = build_model(args.size, 3, enable_mask_head=False, dtype=jnp.bfloat16)
     batch0 = make_batch(args.bs, args.img, args.gt, 3)
+    # the real pipeline ships uint8 frames (normalized in-graph); make the
+    # pure-step reference compile the SAME program
+    batch0 = {**batch0, "images": (batch0["images"] * 255).astype(jnp.uint8)}
     from dfine_tpu.models import jit_init
 
     variables = jit_init(
