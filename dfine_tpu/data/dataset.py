@@ -16,6 +16,7 @@ plain resize, ignore_background epochs (reference dataset.py:392-393).
 from __future__ import annotations
 
 import hashlib
+import threading
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
@@ -50,6 +51,13 @@ class DatasetConfig:
     ignore_background_epochs: int = 0
     epochs: int = 100
     debug_img_path: str = ""  # when set, dump augmented samples w/ geometry
+    # RAM budget for caching decoded images+geometry (0 = off).  The
+    # reference hides JPEG-decode cost behind 12 dataloader worker PROCESSES
+    # (dataset.py:540-615); a TPU host has no spare cores, so it trades RAM
+    # instead — mosaic re-reads 4 images per sample, so a warm cache removes
+    # most decode work after the first epoch.  Self-limiting: caching stops
+    # at the budget, so huge datasets just get a partial cache.
+    cache_images_mb: int = 0
 
 
 class DetectionDataset:
@@ -67,6 +75,13 @@ class DetectionDataset:
         self.epoch = 0
         self.segment = cfg.task == "segment"
         self._train = mode == "train"
+        # decoded-sample RAM cache (thread-shared with the loader pool).
+        # Augment ops never write load_raw arrays in place (they reassign
+        # dict keys with new arrays), so cached arrays can be shared; only
+        # the DICT (and the polygons list) is copied per call.
+        self._cache: Dict[int, Sample] = {}
+        self._cache_bytes = 0
+        self._cache_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.names)
@@ -84,6 +99,15 @@ class DetectionDataset:
 
     def load_raw(self, idx: int) -> Sample:
         """Image (RGB uint8) + absolute-pixel geometry."""
+        cap = self.cfg.cache_images_mb << 20
+        if cap:
+            with self._cache_lock:
+                hit = self._cache.get(idx)
+            if hit is not None:
+                out = dict(hit)
+                if "polygons" in out:
+                    out["polygons"] = list(out["polygons"])
+                return out
         img_path, lbl_path = self._paths(idx)
         img = cv2.imread(str(img_path))
         if img is None:
@@ -101,6 +125,17 @@ class DetectionDataset:
         s: Sample = {"image": img, "boxes": boxes, "labels": labels}
         if self.segment:
             s["polygons"] = [p * np.asarray([w, h], np.float32) for p in (polys or [])]
+        if cap:
+            nbytes = img.nbytes + boxes.nbytes + labels.nbytes + sum(
+                p.nbytes for p in s.get("polygons", [])
+            )
+            with self._cache_lock:
+                if idx not in self._cache and self._cache_bytes + nbytes <= cap:
+                    snap = dict(s)
+                    if "polygons" in snap:
+                        snap["polygons"] = list(snap["polygons"])
+                    self._cache[idx] = snap
+                    self._cache_bytes += nbytes
         return s
 
     # ----------------------------------------------------------- pipeline

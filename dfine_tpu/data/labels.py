@@ -30,12 +30,19 @@ def parse_yolo_label_file(
             continue
         cls = int(float(parts[0]))
         vals = np.asarray([float(v) for v in parts[1:]], np.float32)
-        if segment and len(vals) > 5:
+        if len(vals) >= 6:
+            # polygon row: box from extent, in BOTH tasks — the reference
+            # parses YOLO-Seg rows regardless of task (dataset.py:31-73;
+            # task only controls return_masks, :95).  Odd coordinate count
+            # drops the trailing value (reference :54-58).
+            if len(vals) % 2 == 1:
+                vals = vals[:-1]
             poly = vals.reshape(-1, 2)
             x0, y0 = poly.min(0)
             x1, y1 = poly.max(0)
             boxes.append([(x0 + x1) / 2, (y0 + y1) / 2, x1 - x0, y1 - y0])
-            polys.append(poly)
+            if segment:
+                polys.append(poly)
         elif len(vals) == 4:
             boxes.append(vals.tolist())
             if segment:

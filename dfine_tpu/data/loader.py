@@ -151,7 +151,10 @@ class BatchIterator:
                     q.get_nowait()
                 except Empty:
                     break
-            th.join(timeout=5.0)
+            try:
+                th.join(timeout=5.0)
+            except Exception:
+                pass  # interpreter teardown: threading internals may be gone
 
 
 class Loader:
@@ -186,6 +189,7 @@ class Loader:
             debug_img_path=str(cfg_train.get("debug_img_path", ""))
             if cfg_train.get("debug_img_processing")
             else "",
+            cache_images_mb=int(cfg_train.get("cache_images_mb", 0)),
         )
 
     def dataset(self, split: str, mode: Optional[str] = None) -> DetectionDataset:

@@ -170,9 +170,15 @@ def solve_matchings(
     round-trip (the TPU runtime here has no host-callback support, and the
     reference's GPU->CPU scipy hop is the very bottleneck we remove).
     Padded GT rows are skipped inside the solver (reference scipy solves the
-    reduced per-image problem); their match entries are -1 and masked by
-    every consumer."""
+    reduced per-image problem).  The solver marks them -1, but the returned
+    indices are SANITIZED to 0: every consumer masks pairs by
+    ``tgt_valid``/``go_valid`` anyway, and gathers with -1 (negative indices
+    wrap in jnp.take_along_axis) kernel-fault the axon TPU runtime in some
+    fused vmapped programs when a whole batch has zero valid GT (empty-image
+    batches; found via a deterministic repro, see NOTES.md round 3)."""
     s, b, g, q = costs.shape
     match = hungarian(costs, row_valid=tgt_valid)  # [S, B, G], -1 on pads
     go_q, go_t, go_valid = go_union(match, tgt_valid, q)
+    match = jnp.where(match >= 0, match, 0)
+    go_q = jnp.where(go_valid, go_q, 0)
     return match, go_q, go_t, go_valid

@@ -81,6 +81,28 @@ def test_dataset_determinism(dataset_dir):
     assert not np.array_equal(a["image"], c["image"])  # reseeded per epoch
 
 
+def test_image_cache_transparent(dataset_dir):
+    """cache_images_mb must not change any sample: cached (incl. warm-cache
+    second epoch, where every load_raw is a hit) == uncached, with mosaic
+    exercising concurrent multi-index reads."""
+    names = [f"img_{i}.jpg" for i in range(6)]
+    kw = dict(img_size=(320, 320), max_gt=10, epochs=10,
+              augs={"left_right_flip": 0.5, "brightness": 0.5},
+              mosaic_augs={"mosaic_prob": 0.7})
+    plain = DetectionDataset(dataset_dir, names, DatasetConfig(**kw), mode="train")
+    cached = DetectionDataset(
+        dataset_dir, names, DatasetConfig(cache_images_mb=256, **kw), mode="train"
+    )
+    for epoch in (0, 1):  # epoch 1 = warm cache
+        plain.set_epoch(epoch)
+        cached.set_epoch(epoch)
+        for idx in range(len(names)):
+            a, b = plain[idx], cached[idx]
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=f"{epoch}/{idx}/{k}")
+    assert cached._cache_bytes > 0  # the cache actually engaged
+
+
 def test_loader_batches(dataset_dir):
     loader = Loader(dataset_dir, {"img_size": (320, 320), "max_gt": 10, "batch_size": 2,
                                   "label_to_name": {0: "a", 1: "b", 2: "c"}})

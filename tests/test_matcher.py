@@ -85,9 +85,11 @@ def test_solve_matchings_optimal_and_injective():
     for s in range(S):
         for b in range(B):
             v = valid[b]
-            # padded rows are skipped by the solver (-1, like scipy never
-            # seeing them in the reference's reduced problem)
-            assert (match[s, b][~v] == -1).all()
+            # padded rows are skipped by the solver (like scipy never seeing
+            # them in the reference's reduced problem); solve_matchings
+            # sanitizes their entries to 0 (safe gather index — consumers
+            # mask by tgt_valid), so pads must all read 0 here
+            assert (match[s, b][~v] == 0).all()
             vq = match[s, b][v]
             assert (vq >= 0).all()
             assert len(set(vq.tolist())) == v.sum()  # injective over valid

@@ -106,8 +106,9 @@ def profile_loader(args):
         "mosaic_augs": {},
     }
 
-    def measure(mosaic_prob, n_batches=24):
+    def measure(mosaic_prob, n_batches=24, cache_mb=0):
         cfg = dict(cfg_train)
+        cfg["cache_images_mb"] = cache_mb
         cfg["mosaic_augs"] = {
             "mosaic_prob": mosaic_prob, "no_mosaic_epochs": 0,
             "mosaic_scale": (0.5, 1.5), "degrees": 0.0,
@@ -132,8 +133,10 @@ def profile_loader(args):
 
     plain = measure(0.0)
     mosaic = measure(0.8)
+    mosaic_cached = measure(0.8, cache_mb=2048)
     print(f"loader throughput (bs={args.bs}, {args.img}px, 8 threads): "
-          f"{plain:.1f} img/s plain-aug, {mosaic:.1f} img/s mosaic-0.8")
+          f"{plain:.1f} img/s plain-aug, {mosaic:.1f} img/s mosaic-0.8, "
+          f"{mosaic_cached:.1f} img/s mosaic-0.8+cache")
 
     # ---- step-utilization: pure-step time vs real-loop time
     from dfine_tpu.models import build_model
@@ -166,6 +169,7 @@ def profile_loader(args):
     print(f"pure step ({args.size}@{args.img} bs{args.bs}): {pure_ms:.1f} ms")
 
     cfg = dict(cfg_train)
+    cfg["cache_images_mb"] = 2048
     cfg["mosaic_augs"] = {
         "mosaic_prob": 0.8, "no_mosaic_epochs": 0, "mosaic_scale": (0.5, 1.5),
         "degrees": 0.0, "translate": 0.2, "shear": 2.0,
