@@ -182,6 +182,13 @@ def main():
     for a in sys.argv[1:]:
         if a.startswith("--int8-only"):
             mode = a.split("=", 1)[1] if "=" in a else "w8a8"
+            if mode == "bf16":
+                # control: the plain bf16 det config through the IDENTICAL
+                # fresh-subprocess protocol, so int8 rows are compared
+                # against the subprocess floor, not the parent session
+                infer_c, var_c = build(enable_masks=False)
+                print(f"INT8_STATS={json.dumps(measure(infer_c, var_c, raw_np))}")
+                return
             from dfine_tpu.infer.int8 import set_int8_mode
 
             set_int8_mode(mode)
@@ -206,7 +213,7 @@ def main():
     int8_rows = {}
     if os.environ.get("DFINE_BENCH_INT8", "1") != "0":
         del infer_det, var_det, infer_seg, var_seg
-        for mode in ("w8a16_packed", "w8a16", "w8a8"):
+        for mode in ("bf16", "w8a16_packed", "w8a16", "w8a8"):
             try:
                 int8_rows[mode] = _measure_int8_subprocess(mode)
             except Exception:

@@ -68,10 +68,18 @@ def convert_params_int8(variables: Dict[str, Any]) -> Dict[str, Any]:
 #   to bf16 in-register before a bf16 dot.  Same int8 information content
 #   (the F1 gate sees identical weights) — but the params are still
 #   int8-TYPED, so the axon quirk fires for this mode too (NOTES.md #5).
-# * "w8a16_packed" — the axon dodge: int8 weights PACKED 4-per-uint32 param
+# * "w8a16_packed" — int8 weights PACKED 4-per-uint32 param
 #   (pack_int8_params), unpacked to bf16 in-graph by bitwise ops the
 #   compiler fuses into the matmul read.  Same HBM weight bytes as int8,
-#   identical math to w8a16, and NO int8-typed buffers anywhere.
+#   identical math to w8a16, and NO int8-typed buffers anywhere.  Measured
+#   e2e (bench.py fresh-subprocess protocol, 2026-08-19): it does NOT
+#   dodge the axon degraded mode after all — det p50 83.0 ms vs the bf16
+#   control's 1.47 ms through the identical protocol, and a bf16 program
+#   run AFTER it in the same session degrades to ~97 ms, so the session
+#   flip triggers on more than int8-typed params (uint32 params or the
+#   bitwise unpack itself).  All three int8 modes are therefore a loss on
+#   this dev runtime (bf16 is its serving dtype); the mode is kept for its
+#   HBM footprint and for standard Cloud TPU runtimes.
 _INT8_MODE = "w8a16"
 
 
@@ -83,9 +91,10 @@ def set_int8_mode(mode: str) -> None:
 
 def pack_int8_params(variables_int8: Dict[str, Any]) -> Dict[str, Any]:
     """Repack every int8 kernel as uint32 words (4 weights along the input
-    dim, little-endian) so NO parameter buffer is int8-typed — dodging the
-    axon runtime's degraded mode while keeping int8's HBM footprint.  The
-    original input dim rides the quant collection (``in_dim``)."""
+    dim, little-endian) so NO parameter buffer is int8-typed, keeping int8's
+    HBM footprint.  (Measured: this does NOT avoid the axon runtime's
+    degraded mode — see the mode table above.)  The original input dim
+    rides the quant collection (``in_dim``)."""
     from flax import traverse_util
 
     flat = traverse_util.flatten_dict(variables_int8["params"], sep="/")
