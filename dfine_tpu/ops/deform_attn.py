@@ -163,6 +163,11 @@ def set_deform_bwd(impl: str) -> None:
         "concat",       # ONE scatter per level (4 corners concatenated) fp32
         "concat_bf16",  # same, bf16 payload (half the scatter bytes)
         "chunked",      # destination split into VMEM-sized row chunks
+        "mxu",          # r3 re-tiled Pallas one-hot matmul (bf16 payload)
+        # MEASUREMENT-ONLY ablation: value grad returned as zeros (the
+        # scatter is skipped outright) — wrong gradients, used by
+        # tools/profile_train.py to price the scatter at current shapes
+        "novalue",
     ), impl
     _DEFORM_BWD = impl
 
@@ -292,6 +297,12 @@ def ms_deform_attn_core_fused(
             from .pallas import rows_scatter_add
 
             scatter = lambda i, c, hw: rows_scatter_add(i, c, hw, interpret=interpret)
+        elif scatter_impl == "mxu":
+            from .pallas.scatter_rows import rows_scatter_add_mxu
+
+            scatter = lambda i, c, hw: rows_scatter_add_mxu(
+                i, c, hw, interpret=interpret
+            )
         elif scatter_impl == "window":
             scatter = None  # handled inline (2x2 window form)
         elif scatter_impl == "concat":
@@ -300,6 +311,10 @@ def ms_deform_attn_core_fused(
             scatter = lambda i, c, hw: concat_corner_scatter(i, c, hw, jnp.bfloat16)
         elif scatter_impl == "chunked":
             scatter = chunked_scatter
+        elif scatter_impl == "novalue":
+            scatter = lambda i, c, hw: jnp.zeros(
+                (i.shape[0], hw, c.shape[-1]), jnp.float32
+            )
         else:
             scatter = sorted_segment_scatter
 

@@ -24,6 +24,27 @@ def test_rows_scatter_add_matches_naive():
     np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-5)
 
 
+def test_rows_scatter_add_mxu_matches_bf16_rounded_naive():
+    """v2 kernel: f32 accumulation is EXACT; the only error is the single
+    bf16 rounding of each contribution (same budget as concat_bf16)."""
+    from dfine_tpu.ops.pallas.scatter_rows import rows_scatter_add_mxu
+
+    rng = np.random.default_rng(7)
+    BH, N, D, HW = 3, 1000, 32, 777
+    idx = rng.integers(-1, HW, (BH, N)).astype(np.int32)
+    contrib = rng.normal(size=(BH, N, D)).astype(np.float32)
+    out = np.asarray(
+        rows_scatter_add_mxu(jnp.asarray(idx), jnp.asarray(contrib), HW,
+                             interpret=True)
+    )
+    ref = np.zeros((BH, HW, D), np.float32)
+    rounded = np.asarray(jnp.asarray(contrib).astype(jnp.bfloat16), np.float32)
+    for b in range(BH):
+        valid = idx[b] >= 0
+        np.add.at(ref[b], idx[b][valid], rounded[b][valid])
+    np.testing.assert_allclose(out, ref, atol=0.0, rtol=0.0)
+
+
 def test_fused_core_vjp_matches_autodiff():
     rng = np.random.default_rng(1)
     B, Q, H, D = 2, 9, 4, 8
@@ -74,7 +95,9 @@ def test_sorted_segment_scatter_matches_dense():
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=1e-5)
 
 
-@pytest.mark.parametrize("impl", ["sorted", "window", "concat", "concat_bf16", "chunked"])
+@pytest.mark.parametrize(
+    "impl", ["sorted", "window", "concat", "concat_bf16", "chunked", "mxu"]
+)
 def test_fused_grads_match_autodiff(impl):
     """Every selectable custom-VJP backward (sorted segment-sum, 2x2-window
     scatter) must match XLA autodiff on all three inputs including
@@ -100,12 +123,19 @@ def test_fused_grads_match_autodiff(impl):
     ))(value, loc, att)
     g_f = jax.jit(jax.grad(
         lambda v, l, a: (
-            ms_deform_attn_core_fused(v, shapes, l, a, pts, scatter_impl=impl) ** 2
+            ms_deform_attn_core_fused(
+                v, shapes, l, a, pts, scatter_impl=impl,
+                interpret=(impl == "mxu"),  # pallas kernels need interpret on CPU
+            ) ** 2
         ).sum(),
         argnums=(0, 1, 2),
     ))(value, loc, att)
-    # concat_bf16 trades the value-grad accumulation to bf16 (half scatter
-    # bytes) — ~3 significant digits is its design precision
-    tol = dict(rtol=5e-2, atol=2e-2) if impl == "concat_bf16" else dict(rtol=2e-4, atol=2e-4)
+    # concat_bf16 / mxu trade the value-grad payload to bf16 (accumulation is
+    # bf16 resp. f32-on-MXU) — ~3 significant digits is the design precision
+    tol = (
+        dict(rtol=5e-2, atol=2e-2)
+        if impl in ("concat_bf16", "mxu")
+        else dict(rtol=2e-4, atol=2e-4)
+    )
     for a, b in zip(g_ref, g_f):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)

@@ -206,13 +206,14 @@ def main():
     ap.add_argument("--gt", type=int, default=100)
     ap.add_argument("--classes", type=int, default=80)
     ap.add_argument("--what", default="full",
-                    choices=["full", "fwdbwd", "fwdbwd_crit", "criterion",
-                             "hungarian", "optim", "loader"])
+                    choices=["full", "fwd", "fwdbwd", "fwdbwd_crit",
+                             "criterion", "hungarian", "optim", "loader"])
     ap.add_argument("--data", default="",
                     help="loader mode: dataset root (generated in /tmp if empty)")
     ap.add_argument("--bwd", default="xla",
                     choices=["xla", "sorted", "pallas", "window",
-                             "concat", "concat_bf16", "chunked"])
+                             "concat", "concat_bf16", "chunked", "novalue",
+                             "mxu"])
     ap.add_argument("--losses", default="",
                     help="comma list overriding criterion losses, e.g. vfl,boxes")
     ap.add_argument("--iters", type=int, default=10)
@@ -274,6 +275,24 @@ def main():
         ms = float(np.mean(times[: max(1, len(times) // 2)]) * 1000.0)
         print(f"full train step ({args.size}@{args.img} bs{args.bs} gt{args.gt}, "
               f"bwd={args.bwd}): {ms:.1f} ms -> {args.bs / ms * 1000:.1f} img/s")
+    elif args.what == "fwd":
+        # train-mode FORWARD alone (chained; feedback touches every output
+        # leaf) — baseline for decomposing fwd+bwd into fwd / scatter / rest
+        @jax.jit
+        def step(x, fb):
+            imgs = batch["images"] + fb * 1e-30
+            out, _ = model.apply(
+                variables, imgs, batch["targets"], train=True,
+                rngs={"dn": jax.random.key(2)}, mutable=["batch_stats"],
+            )
+            return sum(
+                v.astype(jnp.float32).sum()
+                for v in jax.tree.leaves(out)
+                if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.inexact)
+            )
+
+        ms = timed_chain(step, None, jnp.float32(0.0), iters=args.iters)
+        print(f"model fwd train-mode (chained): {ms:.1f} ms")
     elif args.what == "fwdbwd":
         def loss_fn(params, bs_, batch, key):
             out, _ = model.apply(
