@@ -50,10 +50,11 @@ lapjv:
 profile:
 	$(PY) tools/profile_train.py --what full $(OVERRIDES)
 
-convergence:  # dual-framework convergence parity (VERDICT r2 item #1)
+SEED ?= 42
+convergence:  # dual-framework convergence parity (multi-seed: run per SEED)
 	$(PY) tools/convergence_parity.py gen   --root $(CONV_ROOT)
-	$(PY) tools/convergence_parity.py ours  --root $(CONV_ROOT) --epochs $(EPOCHS)
-	$(PY) tools/convergence_parity.py torch --root $(CONV_ROOT) --epochs $(EPOCHS)
+	$(PY) tools/convergence_parity.py ours  --root $(CONV_ROOT) --epochs $(EPOCHS) --seed $(SEED)
+	$(PY) tools/convergence_parity.py torch --root $(CONV_ROOT) --epochs $(EPOCHS) --seed $(SEED)
 	$(PY) tools/convergence_parity.py report --root $(CONV_ROOT)
 
 loader_probe:

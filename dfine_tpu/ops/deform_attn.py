@@ -155,7 +155,7 @@ def sorted_segment_scatter(
 _DEFORM_BWD = "xla"
 
 
-def set_deform_bwd(impl: str) -> None:
+def set_deform_bwd(impl: str, allow_wrong_grads: bool = False) -> None:
     global _DEFORM_BWD
     assert impl in (
         "xla", "sorted", "pallas", "window",
@@ -164,11 +164,20 @@ def set_deform_bwd(impl: str) -> None:
         "concat_bf16",  # same, bf16 payload (half the scatter bytes)
         "chunked",      # destination split into VMEM-sized row chunks
         "mxu",          # r3 re-tiled Pallas one-hot matmul (bf16 payload)
+        "tiled",        # r4 SORTED tile-local dense accumulation (Pallas)
         # MEASUREMENT-ONLY ablation: value grad returned as zeros (the
         # scatter is skipped outright) — wrong gradients, used by
         # tools/profile_train.py to price the scatter at current shapes
         "novalue",
     ), impl
+    if impl == "novalue" and not allow_wrong_grads:
+        # ADVICE r3: a typo'd/copied command must not silently train with a
+        # zero value gradient — the ablation needs an explicit opt-in.
+        raise ValueError(
+            "set_deform_bwd('novalue') returns WRONG (zero) value gradients "
+            "and exists only to price the scatter in profiling runs; pass "
+            "allow_wrong_grads=True to opt in."
+        )
     _DEFORM_BWD = impl
 
 
@@ -301,6 +310,12 @@ def ms_deform_attn_core_fused(
             from .pallas.scatter_rows import rows_scatter_add_mxu
 
             scatter = lambda i, c, hw: rows_scatter_add_mxu(
+                i, c, hw, interpret=interpret
+            )
+        elif scatter_impl == "tiled":
+            from .pallas.scatter_rows import rows_scatter_add_tiled
+
+            scatter = lambda i, c, hw: rows_scatter_add_tiled(
                 i, c, hw, interpret=interpret
             )
         elif scatter_impl == "window":

@@ -59,6 +59,11 @@ class Trainer:
             )
         self.task = cfg.task
         self.segment = cfg.task == "segment"
+        # reference train.py:116-117: with the mask head on, box IoU joins
+        # the best-checkpoint decision metric
+        self.decision_metrics = list(t.decision_metrics)
+        if self.segment and "iou" not in self.decision_metrics:
+            self.decision_metrics.append("iou")
         self.img_size = tuple(t.img_size)
         self.conf_thresh = t.conf_thresh
         self.keep_ratio = t.keep_ratio
@@ -356,7 +361,7 @@ class Trainer:
                     self.logger.info(f"device memory: {s}")
             metrics = self.evaluate("val")
             decision = float(
-                np.mean([metrics[k] for k in t.decision_metrics if k in metrics])
+                np.mean([metrics[k] for k in self.decision_metrics if k in metrics])
             )
             row = {"epoch": epoch, "train_time_s": round(dur, 1),
                    "loss": agg.get("loss", 0.0), "decision": decision}

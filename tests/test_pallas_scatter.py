@@ -42,7 +42,10 @@ def test_rows_scatter_add_mxu_matches_bf16_rounded_naive():
     for b in range(BH):
         valid = idx[b] >= 0
         np.add.at(ref[b], idx[b][valid], rounded[b][valid])
-    np.testing.assert_allclose(out, ref, atol=0.0, rtol=0.0)
+    # f32 summation ORDER differs between the kernel's dot accumulation and
+    # np.add.at, so exact equality would be incidental (ADVICE r3) — allow
+    # reordering-level error while still catching any payload-rounding bug.
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-6)
 
 
 def test_fused_core_vjp_matches_autodiff():
@@ -96,7 +99,7 @@ def test_sorted_segment_scatter_matches_dense():
 
 
 @pytest.mark.parametrize(
-    "impl", ["sorted", "window", "concat", "concat_bf16", "chunked", "mxu"]
+    "impl", ["sorted", "window", "concat", "concat_bf16", "chunked", "mxu", "tiled"]
 )
 def test_fused_grads_match_autodiff(impl):
     """Every selectable custom-VJP backward (sorted segment-sum, 2x2-window
@@ -125,17 +128,91 @@ def test_fused_grads_match_autodiff(impl):
         lambda v, l, a: (
             ms_deform_attn_core_fused(
                 v, shapes, l, a, pts, scatter_impl=impl,
-                interpret=(impl == "mxu"),  # pallas kernels need interpret on CPU
+                # pallas kernels need interpret on CPU
+                interpret=(impl in ("mxu", "tiled")),
             ) ** 2
         ).sum(),
         argnums=(0, 1, 2),
     ))(value, loc, att)
-    # concat_bf16 / mxu trade the value-grad payload to bf16 (accumulation is
-    # bf16 resp. f32-on-MXU) — ~3 significant digits is the design precision
+    # concat_bf16 / mxu / tiled trade the value-grad payload to bf16 (accu-
+    # mulation is bf16 resp. f32-on-MXU) — ~3 significant digits by design
     tol = (
         dict(rtol=5e-2, atol=2e-2)
-        if impl in ("concat_bf16", "mxu")
+        if impl in ("concat_bf16", "mxu", "tiled")
         else dict(rtol=2e-4, atol=2e-4)
     )
     for a, b in zip(g_ref, g_f):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), **tol)
+
+
+def test_tiled_scatter_matches_naive():
+    """Sorted tile-local kernel vs sequential reference (bf16 payload)."""
+    from dfine_tpu.ops.pallas.scatter_rows import rows_scatter_add_tiled
+
+    rng = np.random.default_rng(11)
+    BH, N, D, HW = 3, 1000, 32, 777
+    idx = rng.integers(-1, HW, (BH, N)).astype(np.int32)
+    contrib = rng.normal(size=(BH, N, D)).astype(np.float32)
+    out = np.asarray(
+        rows_scatter_add_tiled(jnp.asarray(idx), jnp.asarray(contrib), HW,
+                               interpret=True)
+    )
+    ref = np.zeros((BH, HW, D), np.float32)
+    rounded = np.asarray(jnp.asarray(contrib).astype(jnp.bfloat16), np.float32)
+    for b in range(BH):
+        valid = idx[b] >= 0
+        np.add.at(ref[b], idx[b][valid], rounded[b][valid])
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-6)
+
+
+def test_tiled_scatter_empty_and_dense_tiles():
+    """Degenerate spans: every update in ONE tile (others must stay zero),
+    and an all-dropped stream (everything -1)."""
+    from dfine_tpu.ops.pallas.scatter_rows import rows_scatter_add_tiled
+
+    BH, N, D, HW = 2, 600, 8, 2000
+    idx = np.full((BH, N), 700, np.int32)  # all in tile 1 (tile=512)
+    contrib = np.ones((BH, N, D), np.float32)
+    out = np.asarray(
+        rows_scatter_add_tiled(jnp.asarray(idx), jnp.asarray(contrib), HW,
+                               interpret=True)
+    )
+    assert out[0, 700, 0] == N
+    mask = np.ones(HW, bool)
+    mask[700] = False
+    assert np.abs(out[:, mask]).max() == 0.0
+
+    idx_drop = np.full((BH, N), -1, np.int32)
+    out2 = np.asarray(
+        rows_scatter_add_tiled(jnp.asarray(idx_drop), jnp.asarray(contrib), HW,
+                               interpret=True)
+    )
+    assert np.abs(out2).max() == 0.0
+
+
+# ---- compiled-on-TPU variants (ADVICE r3: interpret=True never exercises
+# ---- the real BlockSpec tiling / bf16 MXU lowering) -----------------------
+
+_tpu = any(d.platform == "tpu" for d in jax.devices())
+
+
+@pytest.mark.skipif(not _tpu, reason="needs a real TPU for compiled pallas")
+@pytest.mark.parametrize("impl", ["mxu", "tiled"])
+def test_pallas_scatter_compiled_on_tpu(impl):
+    from dfine_tpu.ops.pallas.scatter_rows import (
+        rows_scatter_add_mxu,
+        rows_scatter_add_tiled,
+    )
+
+    fn = {"mxu": rows_scatter_add_mxu, "tiled": rows_scatter_add_tiled}[impl]
+    rng = np.random.default_rng(5)
+    BH, N, D, HW = 4, 3000, 32, 1700  # non-multiple shapes: exercises padding
+    idx = rng.integers(-1, HW, (BH, N)).astype(np.int32)
+    contrib = rng.normal(size=(BH, N, D)).astype(np.float32)
+    out = np.asarray(fn(jnp.asarray(idx), jnp.asarray(contrib), HW))
+    ref = np.zeros((BH, HW, D), np.float32)
+    rounded = np.asarray(jnp.asarray(contrib).astype(jnp.bfloat16), np.float32)
+    for b in range(BH):
+        valid = idx[b] >= 0
+        np.add.at(ref[b], idx[b][valid], rounded[b][valid])
+    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-5)
