@@ -11,22 +11,23 @@ inside the loop, like the reference's cv2+H2D preprocess) and ends with the
 decoded scores/labels/boxes (+ bf16 mask logits for the top queries) synced
 back to host.
 
-Protocol hardening (VERDICT r2 item #8):
-* p50 AND p90 with sample counts + warmup count in the JSON;
-* det and det+seg are INTERLEAVED in alternating blocks within one session,
-  so tunnel/host drift hits both equally (r2 had det 3.23 > det+seg 2.55
-  from sequential measurement under host contention);
-* host-load guard: 1-min loadavg is sampled before timing and flagged in
-  the output if another process is competing for this 1-core host.
+Protocol (r4, VERDICT r3 item #3): EVERY row is measured in a FRESH
+single-purpose subprocess — one process, one program, one measurement.
+BENCH_r03 exposed ~1 ms of overhead carried by a session holding two warmed
+programs (main-session det p50 2.389 ms vs 1.434 ms for the identical
+config through the fresh-subprocess int8-control path), i.e. the old
+protocol measured the session, not the machine.  The two-program
+interleaved session is kept as an explicitly-named DIAGNOSTIC row
+(``pair_session_*``) so the overhead stays visible; the headline rows are
+the clean single-program numbers.
 
 Weights: random-init by default (latency is weight-independent); set
 DFINE_BENCH_CKPT=/path/to/{.pth,.npz,ckpt} to load real weights through the
 parity-verified importer (dfine_tpu/utils/checkpoint.py).
 
-int8: measured in FRESH subprocesses (one per mode) because on this dev
-runtime a session that ever held int8-typed params degrades permanently
-(NOTES.md, tools/bisect_int8.py).  Both modes are reported: ``w8a8`` (real
-int8 MXU dots) and ``w8a16`` (int8 weights in HBM, bf16 compute).
+int8: also per-mode fresh subprocesses (mandatory here: on this dev runtime
+a session that ever held int8-typed params degrades permanently — NOTES.md,
+tools/bisect_int8.py).
 
 Prints ONE JSON line.  Primary metric = det+seg e2e p50; ``vs_baseline`` is
 the speedup factor (baseline_ms / ours_ms; > 1 beats the reference).
@@ -39,23 +40,30 @@ import os
 import time
 
 import numpy as np
-import jax
-import jax.numpy as jnp
-
-# Persistent compile cache (cold-cache eager/jit compiles cost minutes on
-# this runtime; see dfine_tpu/models/__init__.py::jit_init)
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/dfine_jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 # masks fetched for this many top queries (bf16): 100x160x160x2B = 5 MB D2H,
 # covering every plausible above-threshold detection (reference keeps the
 # conf-filtered subset of 300)
 TOP_MASKS = 100
 WARMUP = 5
+ITERS = 60
+
+
+def _init_jax():
+    import jax
+
+    # Persistent compile cache (cold-cache jit compiles cost minutes on this
+    # runtime; subprocesses rely on this to start warm)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/dfine_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return jax
 
 
 def load_variables(model, img_hw):
+    import jax
+    import jax.numpy as jnp
+
     path = os.environ.get("DFINE_BENCH_CKPT", "")
     x = jnp.zeros((1, *img_hw, 3), jnp.float32)
     from dfine_tpu.models import jit_init
@@ -74,6 +82,9 @@ def load_variables(model, img_hw):
 
 
 def build(enable_masks: bool, int8: bool = False):
+    import jax
+    import jax.numpy as jnp
+
     from dfine_tpu.models import build_model
     from dfine_tpu.ops.preprocess import preprocess_plain
     from dfine_tpu.postprocess import topk_decode
@@ -115,6 +126,8 @@ def build(enable_masks: bool, int8: bool = False):
 
 
 def _time_block(infer, variables, raw_np, iters):
+    import jax
+
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
@@ -125,6 +138,8 @@ def _time_block(infer, variables, raw_np, iters):
 
 
 def warm(infer, variables, raw_np):
+    import jax
+
     for _ in range(WARMUP):
         out = infer(variables, raw_np)
     jax.block_until_ready(out)
@@ -139,8 +154,7 @@ def stats(times):
     }
 
 
-def measure(infer, variables, raw_np, iters=50):
-    """Single-config measurement (used by the int8 subprocess path)."""
+def measure(infer, variables, raw_np, iters=ITERS):
     warm(infer, variables, raw_np)
     return stats(_time_block(infer, variables, raw_np, iters))
 
@@ -152,70 +166,88 @@ def host_load() -> float:
         return -1.0
 
 
-def _measure_int8_subprocess(mode: str) -> dict:
-    """Measure an int8 config in a FRESH process: on this dev runtime a
-    program with int8-typed parameters flips the whole session into a
-    degraded sync-dispatch mode (~35 ms/call for every subsequent program
-    too — see NOTES.md / tools/bisect_int8.py), so it must never share a
-    process with the det/seg measurements."""
+def _frame():
+    return np.random.default_rng(0).integers(
+        0, 255, size=(1, 720, 1280, 3), dtype=np.uint8
+    )
+
+
+def _run_solo(config: str):
+    """Child-process entry: ONE program, ONE measurement, print STATS=."""
+    _init_jax()
+    raw_np = _frame()
+    if config == "det":
+        infer, var = build(enable_masks=False)
+        print(f"STATS={json.dumps(measure(infer, var, raw_np))}")
+    elif config == "detseg":
+        infer, var = build(enable_masks=True)
+        print(f"STATS={json.dumps(measure(infer, var, raw_np))}")
+    elif config == "pair":
+        # DIAGNOSTIC: replicate the r3 main-session protocol (two warmed
+        # programs, interleaved blocks) inside one fresh process, so any
+        # multi-program session overhead is measured and named
+        infer_d, var_d = build(enable_masks=False)
+        infer_s, var_s = build(enable_masks=True)
+        warm(infer_d, var_d, raw_np)
+        warm(infer_s, var_s, raw_np)
+        det_times, seg_times = [], []
+        for _ in range(4):
+            det_times += _time_block(infer_d, var_d, raw_np, 15)
+            seg_times += _time_block(infer_s, var_s, raw_np, 15)
+        print(f"STATS={json.dumps({'det': stats(det_times), 'detseg': stats(seg_times)})}")
+    elif config.startswith("int8:"):
+        from dfine_tpu.infer.int8 import set_int8_mode
+
+        set_int8_mode(config.split(":", 1)[1])
+        infer, var = build(enable_masks=False, int8=True)
+        print(f"STATS={json.dumps(measure(infer, var, raw_np))}")
+    else:
+        raise SystemExit(f"unknown solo config {config!r}")
+
+
+def _subprocess(config: str) -> dict:
     import subprocess
     import sys
 
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), f"--int8-only={mode}"],
+        [sys.executable, os.path.abspath(__file__), f"--solo={config}"],
         capture_output=True, text=True, timeout=1800,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     for line in proc.stdout.splitlines():
-        if line.startswith("INT8_STATS="):
+        if line.startswith("STATS="):
             return json.loads(line.split("=", 1)[1])
-    raise RuntimeError(f"int8 subprocess failed: {proc.stderr[-1500:]}")
+    raise RuntimeError(f"solo({config}) subprocess failed: {proc.stderr[-1500:]}")
 
 
 def main():
     import sys
 
-    raw_np = np.random.default_rng(0).integers(
-        0, 255, size=(1, 720, 1280, 3), dtype=np.uint8
-    )
-
     for a in sys.argv[1:]:
-        if a.startswith("--int8-only"):
-            mode = a.split("=", 1)[1] if "=" in a else "w8a8"
-            if mode == "bf16":
-                # control: the plain bf16 det config through the IDENTICAL
-                # fresh-subprocess protocol, so int8 rows are compared
-                # against the subprocess floor, not the parent session
-                infer_c, var_c = build(enable_masks=False)
-                print(f"INT8_STATS={json.dumps(measure(infer_c, var_c, raw_np))}")
-                return
-            from dfine_tpu.infer.int8 import set_int8_mode
-
-            set_int8_mode(mode)
-            infer_i8, var_i8 = build(enable_masks=False, int8=True)
-            print(f"INT8_STATS={json.dumps(measure(infer_i8, var_i8, raw_np))}")
+        if a.startswith("--solo"):
+            _run_solo(a.split("=", 1)[1] if "=" in a else "detseg")
             return
 
     load_before = host_load()
 
-    # build + warm BOTH configs, then interleave timed blocks so drift in
-    # tunnel/host conditions hits det and det+seg equally
-    infer_det, var_det = build(enable_masks=False)
-    infer_seg, var_seg = build(enable_masks=True)
-    warm(infer_det, var_det, raw_np)
-    warm(infer_seg, var_seg, raw_np)
-    det_times, seg_times = [], []
-    for _ in range(4):  # 4 alternating blocks of 15 -> n=60 each
-        det_times += _time_block(infer_det, var_det, raw_np, 15)
-        seg_times += _time_block(infer_seg, var_seg, raw_np, 15)
-    det, seg = stats(det_times), stats(seg_times)
+    # headline rows: clean single-program sessions (the parent process never
+    # touches the TPU, so children start on an idle device)
+    det = _subprocess("det")
+    seg = _subprocess("detseg")
+
+    # diagnostic: the two-program interleaved session, named as such
+    pair = None
+    if os.environ.get("DFINE_BENCH_PAIR", "1") != "0":
+        try:
+            pair = _subprocess("pair")
+        except Exception:
+            pass
 
     int8_rows = {}
     if os.environ.get("DFINE_BENCH_INT8", "1") != "0":
-        del infer_det, var_det, infer_seg, var_seg
-        for mode in ("bf16", "w8a16_packed", "w8a16", "w8a8"):
+        for mode in ("w8a16_packed", "w8a16", "w8a8"):
             try:
-                int8_rows[mode] = _measure_int8_subprocess(mode)
+                int8_rows[mode] = _subprocess(f"int8:{mode}")
             except Exception:
                 pass
 
@@ -225,6 +257,7 @@ def main():
         "value": seg["p50"],
         "unit": "ms",
         "vs_baseline": round(baseline_ms / seg["p50"], 3),
+        "protocol": "fresh single-program subprocess per row",
         "detseg_p90_ms": seg["p90"],
         "det_p50_ms": det["p50"],
         "det_p90_ms": det["p90"],
@@ -233,6 +266,12 @@ def main():
         "host_load_1min": load_before,
         "host_contended": load_before > 1.5,
     }
+    if pair:
+        row["pair_session_det_p50_ms"] = pair["det"]["p50"]
+        row["pair_session_detseg_p50_ms"] = pair["detseg"]["p50"]
+        row["pair_session_overhead_ms"] = round(
+            pair["detseg"]["p50"] - seg["p50"], 3
+        )
     for mode, s in int8_rows.items():
         row[f"det_{mode}_p50_ms"] = s["p50"]
         row[f"det_{mode}_p90_ms"] = s["p90"]

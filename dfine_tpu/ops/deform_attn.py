@@ -165,12 +165,14 @@ def set_deform_bwd(impl: str, allow_wrong_grads: bool = False) -> None:
         "chunked",      # destination split into VMEM-sized row chunks
         "mxu",          # r3 re-tiled Pallas one-hot matmul (bf16 payload)
         "tiled",        # r4 SORTED tile-local dense accumulation (Pallas)
-        # MEASUREMENT-ONLY ablation: value grad returned as zeros (the
-        # scatter is skipped outright) — wrong gradients, used by
-        # tools/profile_train.py to price the scatter at current shapes
+        # MEASUREMENT-ONLY ablations (wrong gradients, profiling only):
+        # novalue = fused bwd with the value grad zeroed (scatter skipped);
+        # xla_novalue = plain autodiff with stop_gradient(value) — prices
+        # the serialized scatter WITHIN the autodiff backward family
         "novalue",
+        "xla_novalue",
     ), impl
-    if impl == "novalue" and not allow_wrong_grads:
+    if impl in ("novalue", "xla_novalue") and not allow_wrong_grads:
         # ADVICE r3: a typo'd/copied command must not silently train with a
         # zero value gradient — the ablation needs an explicit opt-in.
         raise ValueError(

@@ -120,11 +120,25 @@ class Trainer:
             dummy_img, dummy_tgt, train=True,
         )
         pretrained = t.get("pretrained_model_path")
-        if pretrained and Path(pretrained).exists():
-            variables = jax.tree.map(
-                jnp.asarray, load_torch_checkpoint(pretrained, variables, self.num_classes)
-            )
-            self.logger.info(f"loaded pretrained weights from {pretrained}")
+        if pretrained:
+            # "auto"/URL -> cached fetch with offline fallback (reference
+            # hgnetv2.py:490-545); stage1 backbone-only files auto-detected
+            from ..utils.pretrained import load_pretrained, resolve_pretrained
+
+            resolved = resolve_pretrained(str(pretrained), cfg.model_name,
+                                          logger=self.logger)
+            if resolved is not None:
+                variables = jax.tree.map(
+                    jnp.asarray,
+                    load_pretrained(resolved, variables, self.num_classes,
+                                    logger=self.logger),
+                )
+                self.logger.info(f"loaded pretrained weights from {resolved}")
+            else:
+                self.logger.info(
+                    f"pretrained weights unavailable for "
+                    f"{pretrained!r}; training from random init"
+                )
 
         # ---- optimizer
         self.b_accum = t.b_accum_steps

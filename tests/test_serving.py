@@ -111,3 +111,32 @@ def test_nms():
     labels = jnp.asarray([0, 1, 0])
     keep = np.asarray(batched_class_nms(boxes, scores, labels, 0.5))
     assert keep.tolist() == [True, True, True]
+
+
+@pytest.mark.slow
+def test_rect_bucket_prebuild_populates_jit_cache():
+    """rect=True pre-compiles the default aspect buckets at load (VERDICT r3
+    item #8): the first rect request at a bucket shape must NOT trigger a
+    fresh compile."""
+    from dfine_tpu.infer import JAXModel
+    from dfine_tpu.infer.base import default_rect_buckets, rect_bucket
+
+    buckets = default_rect_buckets((320, 320))
+    assert (320, 320) in buckets  # 1:1
+    assert all(h % 32 == 0 and w % 32 == 0 for h, w in buckets)
+
+    m = JAXModel("n", None, n_outputs=3, input_width=320, input_height=320,
+                 conf_thresh=0.01, half=False, rect=True,
+                 prebuild_rect_buckets=False)
+    small = buckets[:2]  # keep CPU compile cost bounded
+    m.warmup(small)
+    n_cached = m._infer._cache_size()
+    assert n_cached >= len(small)
+
+    # a request landing in a prebuilt bucket must not add a cache entry
+    h, w = small[0]
+    src_h, src_w = h * 3, w * 3  # exact multiple -> same bucket
+    assert rect_bucket(src_h, src_w, (320, 320)) == (h, w)
+    img = np.random.randint(0, 255, (src_h, src_w, 3), np.uint8)
+    m(img)
+    assert m._infer._cache_size() == n_cached

@@ -213,7 +213,7 @@ def main():
     ap.add_argument("--bwd", default="xla",
                     choices=["xla", "sorted", "pallas", "window",
                              "concat", "concat_bf16", "chunked", "novalue",
-                             "mxu", "tiled"])
+                             "mxu", "tiled", "xla_novalue"])
     ap.add_argument("--losses", default="",
                     help="comma list overriding criterion losses, e.g. vfl,boxes")
     ap.add_argument("--iters", type=int, default=10)
@@ -232,7 +232,7 @@ def main():
     from dfine_tpu.train.optim import OptimConfig, build_optimizer
     from dfine_tpu.train.train_step import TrainState, make_train_step
 
-    set_deform_bwd(args.bwd, allow_wrong_grads=(args.bwd == "novalue"))
+    set_deform_bwd(args.bwd, allow_wrong_grads=args.bwd in ("novalue", "xla_novalue"))
     model = build_model(args.size, args.classes, enable_mask_head=False,
                         dtype=jnp.bfloat16)
     batch = make_batch(args.bs, args.img, args.gt, args.classes)
