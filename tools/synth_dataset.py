@@ -48,8 +48,51 @@ def _poly_for_shape(rng, cls, cx, cy, r, img):
     return np.stack([cx + r * np.cos(t), cy + r * np.sin(t)], 1)
 
 
-def make_image(rng, img_size: int, max_shapes: int = 5):
-    """Returns (bgr uint8 [S,S,3], list of (cls, poly_norm [P,2]))."""
+def _poly_many(rng, cls, cx, cy, r, n_classes):
+    """>3-class mode: class = (shape family, hue) pair.  7 polygon families
+    keep instances geometrically distinct; hue separates families' reuse."""
+    fam = cls % 7
+    if fam < 3:
+        return _poly_for_shape(rng, fam, cx, cy, r, None)
+    ang0 = rng.uniform(0, 2 * np.pi)
+    if fam == 3:  # 5-point star
+        t = ang0 + np.arange(10) * np.pi / 5
+        rad = np.where(np.arange(10) % 2 == 0, r, 0.45 * r)
+        return np.stack([cx + rad * np.cos(t), cy + rad * np.sin(t)], 1)
+    if fam == 4:  # regular pentagon
+        t = ang0 + np.arange(5) * 2 * np.pi / 5
+        return np.stack([cx + r * np.cos(t), cy + r * np.sin(t)], 1)
+    if fam == 5:  # plus-sign cross
+        a = r * rng.uniform(0.3, 0.45)
+        pts = np.asarray([
+            [-a, -r], [a, -r], [a, -a], [r, -a], [r, a], [a, a],
+            [a, r], [-a, r], [-a, a], [-r, a], [-r, -a], [-a, -a],
+        ], np.float64)
+        c, s_ = np.cos(ang0), np.sin(ang0)
+        return pts @ np.asarray([[c, -s_], [s_, c]]).T + [cx, cy]
+    # fam 6: diamond (tall rhombus)
+    w = r * rng.uniform(0.4, 0.7)
+    pts = np.asarray([[0, -r], [w, 0], [0, r], [-w, 0]], np.float64)
+    c, s_ = np.cos(ang0), np.sin(ang0)
+    return pts @ np.asarray([[c, -s_], [s_, c]]).T + [cx, cy]
+
+
+def _class_color(cls: int, n_classes: int) -> np.ndarray:
+    """Distinct BGR per class: hue spread over the wheel (HSV, OpenCV)."""
+    if n_classes <= 3:
+        return np.asarray(BASE_COLORS[cls], np.float64)
+    hue = int(round(cls * 180.0 / n_classes))
+    hsv = np.asarray([[[hue, 200, 200]]], np.uint8)
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)[0, 0].astype(np.float64)
+
+
+def make_image(rng, img_size: int, max_shapes: int = 5, n_classes: int = 3,
+               min_r: float = 0.06, max_r: float = 0.18):
+    """Returns (bgr uint8 [S,S,3], list of (cls, poly_norm [P,2])).
+
+    n_classes<=3 reproduces the r3 generator byte-identically (same rng
+    draw sequence); larger values use 7 polygon families x hue palette with
+    variable instance density (VERDICT r3 item #2: ~20 classes)."""
     s = img_size
     img = rng.integers(90, 150, size=(s, s, 3)).astype(np.uint8)
     img = cv2.GaussianBlur(img, (0, 0), 3)
@@ -60,18 +103,21 @@ def make_image(rng, img_size: int, max_shapes: int = 5):
     anns = []
     occupied = np.zeros((s, s), bool)
     for _ in range(n):
-        cls = int(rng.integers(0, 3))
-        r = rng.uniform(0.06, 0.18) * s
+        cls = int(rng.integers(0, n_classes))
+        r = rng.uniform(min_r, max_r) * s
         cx = rng.uniform(r + 2, s - r - 2)
         cy = rng.uniform(r + 2, s - r - 2)
-        poly = _poly_for_shape(rng, cls, cx, cy, r, s)
+        if n_classes <= 3:
+            poly = _poly_for_shape(rng, cls, cx, cy, r, s)
+        else:
+            poly = _poly_many(rng, cls, cx, cy, r, n_classes)
         poly = np.clip(poly, 1, s - 2)
         mask = np.zeros((s, s), np.uint8)
         cv2.fillPoly(mask, [poly.astype(np.int32)], 1)
         if (mask & occupied).sum() > 0.3 * max(mask.sum(), 1):
             continue  # too much overlap: skip (keeps instances separable)
         occupied |= mask.astype(bool)
-        color = np.asarray(BASE_COLORS[cls], np.float64)
+        color = _class_color(cls, n_classes)
         color = np.clip(color + rng.normal(0, 18, 3), 0, 255)
         img[mask.astype(bool)] = color.astype(np.uint8)
         anns.append((cls, poly / s))
@@ -81,7 +127,9 @@ def make_image(rng, img_size: int, max_shapes: int = 5):
     return img, anns
 
 
-def generate(root: Path, n_train: int, n_val: int, img_size: int = 320, seed: int = 0):
+def generate(root: Path, n_train: int, n_val: int, img_size: int = 320, seed: int = 0,
+             n_classes: int = 3, max_shapes: int = 5,
+             min_r: float = 0.06, max_r: float = 0.18):
     root = Path(root)
     (root / "images").mkdir(parents=True, exist_ok=True)
     (root / "labels").mkdir(parents=True, exist_ok=True)
@@ -90,7 +138,8 @@ def generate(root: Path, n_train: int, n_val: int, img_size: int = 320, seed: in
     for split, count in (("train", n_train), ("val", n_val)):
         for i in range(count):
             name = f"{split}_{i:05d}.jpg"
-            img, anns = make_image(rng, img_size)
+            img, anns = make_image(rng, img_size, max_shapes, n_classes,
+                                   min_r, max_r)
             cv2.imwrite(str(root / "images" / name), img, [cv2.IMWRITE_JPEG_QUALITY, 95])
             lines = []
             for cls, poly in anns:
@@ -109,6 +158,11 @@ if __name__ == "__main__":
     ap.add_argument("--n-val", type=int, default=80)
     ap.add_argument("--img-size", type=int, default=320)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n-classes", type=int, default=3)
+    ap.add_argument("--max-shapes", type=int, default=5)
+    ap.add_argument("--min-r", type=float, default=0.06)
+    ap.add_argument("--max-r", type=float, default=0.18)
     a = ap.parse_args()
-    names = generate(Path(a.root), a.n_train, a.n_val, a.img_size, a.seed)
+    names = generate(Path(a.root), a.n_train, a.n_val, a.img_size, a.seed,
+                     a.n_classes, a.max_shapes, a.min_r, a.max_r)
     print(f"wrote {len(names['train'])} train / {len(names['val'])} val to {a.root}")
