@@ -48,7 +48,6 @@ N_CLASSES = 3
 OVERRIDES_COMMON = [
     "model_name=n",
     "task=segment",
-    "train.img_size=[320,320]",
     "train.batch_size=8",
     "train.use_wandb=false",
     "train.keep_ratio=false",
@@ -73,10 +72,11 @@ OVERRIDES_COMMON = [
 ]
 
 
-def build_cfg(root: Path, epochs: int, out_dir: Path, seed: int = 42):
+def build_cfg(root: Path, epochs: int, out_dir: Path, seed: int = 42, img: int = 320):
     from dfine_tpu.config import load_config
 
     over = OVERRIDES_COMMON + [
+        f"train.img_size=[{img},{img}]",
         f"train.data_path={root}",
         f"train.epochs={epochs}",
         f"train.seed={seed}",
@@ -106,7 +106,7 @@ def _decision(metrics: dict) -> float:
 def cmd_gen(args):
     from tools.synth_dataset import generate
 
-    names = generate(Path(args.root), args.n_train, args.n_val, 320, seed=0)
+    names = generate(Path(args.root), args.n_train, args.n_val, args.img, seed=0)
     print(f"dataset: {len(names['train'])} train / {len(names['val'])} val at {args.root}")
 
 
@@ -117,7 +117,7 @@ def cmd_ours(args):
     from dfine_tpu.train.trainer import Trainer
 
     out_dir = Path(args.root) / f"run_ours_s{args.seed}"
-    cfg = build_cfg(Path(args.root), args.epochs, out_dir, seed=args.seed)
+    cfg = build_cfg(Path(args.root), args.epochs, out_dir, seed=args.seed, img=args.img)
     if getattr(args, "resume", False):
         cfg.train["resume"] = True
     t0 = time.time()
@@ -254,7 +254,7 @@ def cmd_torch(args):
 
     out_dir = Path(args.root) / f"run_torch_s{args.seed}"
     out_dir.mkdir(parents=True, exist_ok=True)
-    cfg = build_cfg(Path(args.root), args.epochs, out_dir, seed=args.seed)
+    cfg = build_cfg(Path(args.root), args.epochs, out_dir, seed=args.seed, img=args.img)
     t = cfg.train
     img_size = tuple(t.img_size)
     loader = Loader(Path(t.data_path), t, task="segment")
@@ -428,9 +428,11 @@ if __name__ == "__main__":
         if name == "gen":
             p.add_argument("--n-train", type=int, default=320)
             p.add_argument("--n-val", type=int, default=80)
+            p.add_argument("--img", type=int, default=320)
         if name in ("ours", "torch"):
             p.add_argument("--epochs", type=int, default=40)
             p.add_argument("--seed", type=int, default=42)
+            p.add_argument("--img", type=int, default=320)
         if name == "ours":
             p.add_argument("--resume", action="store_true")
         if name == "torch":

@@ -66,7 +66,7 @@ def timed_chain(step, x0, fb0, iters=30):
     return (time.perf_counter() - t0) / iters * 1000.0
 
 
-def make_batch(bs, img, gt, num_classes, seed=0):
+def make_batch(bs, img, gt, num_classes, seed=0, segment=False):
     rng = np.random.default_rng(seed)
     images = jnp.asarray(rng.uniform(size=(bs, img, img, 3)).astype(np.float32))
     boxes = rng.uniform(0.2, 0.8, size=(bs, gt, 4)).astype(np.float32)
@@ -76,6 +76,12 @@ def make_batch(bs, img, gt, num_classes, seed=0):
         "boxes": jnp.asarray(boxes),
         "valid": jnp.asarray(np.tile(np.arange(gt)[None] < gt // 2, (bs, 1))),
     }
+    if segment:
+        # stride-4 uint8 GT masks, like data/dataset.py ships them
+        mh = img // 4
+        targets["masks"] = jnp.asarray(
+            (rng.uniform(size=(bs, gt, mh, mh)) > 0.7).astype(np.uint8))
+        targets["mask_valid"] = targets["valid"]
     return {"images": images, "targets": targets}
 
 
@@ -205,6 +211,7 @@ def main():
     ap.add_argument("--bs", type=int, default=8)
     ap.add_argument("--gt", type=int, default=100)
     ap.add_argument("--classes", type=int, default=80)
+    ap.add_argument("--task", default="detect", choices=["detect", "segment"])
     ap.add_argument("--what", default="full",
                     choices=["full", "fwd", "fwdbwd", "fwdbwd_crit",
                              "criterion", "hungarian", "optim", "loader"])
@@ -233,15 +240,15 @@ def main():
     from dfine_tpu.train.train_step import TrainState, make_train_step
 
     set_deform_bwd(args.bwd, allow_wrong_grads=args.bwd in ("novalue", "xla_novalue"))
-    model = build_model(args.size, args.classes, enable_mask_head=False,
+    segment = args.task == "segment"
+    model = build_model(args.size, args.classes, enable_mask_head=segment,
                         dtype=jnp.bfloat16)
-    batch = make_batch(args.bs, args.img, args.gt, args.classes)
-    crit = (
-        CriterionConfig(num_classes=args.classes,
-                        losses=tuple(args.losses.split(",")))
-        if args.losses
-        else CriterionConfig(num_classes=args.classes)
-    )
+    batch = make_batch(args.bs, args.img, args.gt, args.classes, segment=segment)
+    base_losses = (tuple(args.losses.split(","))
+                   if args.losses else CriterionConfig.__dataclass_fields__["losses"].default)
+    if segment and "masks" not in base_losses:
+        base_losses = tuple(base_losses) + ("masks",)  # trainer.py:93
+    crit = CriterionConfig(num_classes=args.classes, losses=tuple(base_losses))
 
     from dfine_tpu.models import jit_init
 
