@@ -621,8 +621,9 @@ class DFINETransformer(nn.Module):
 
         # ---- segmentation head (reference :998-1022)
         pred_masks = None
-        aux_masks = None
-        dn_masks = None
+        mask_feat = None
+        mask_embed = None
+        dn_embed = None
         if self.enable_mask_head:
             h0, w0 = spatial_shapes[0]
             mem0 = memory[:, : h0 * w0].reshape(b, h0, w0, hd)
@@ -631,17 +632,27 @@ class DFINETransformer(nn.Module):
             )
             mask_mlp = MLP(hd, self.mask_dim, 3, dtype=self.dtype, name="mask_head")
 
-            def mask_logits(h):
-                emb = mask_mlp(h)
-                return jnp.einsum("bqc,bxyc->bqxy", emb, mask_feat)
-
             hs_dn = [split_dn(h)[0] for h in dec_hs] if dn_meta is not None else None
             hs_m = [split_dn(h)[1] for h in dec_hs] if dn_meta is not None else dec_hs
-            pred_masks = mask_logits(hs_m[-1])
             if train:
-                aux_masks = [mask_logits(h) for h in hs_m[:-1]]
+                # LAZY mask head (TPU redesign): emit only the per-set query
+                # embeddings [B,Q,C] + the shared mask_feat; the criterion
+                # gathers the ~max_gt MATCHED rows per set and einsums those
+                # against mask_feat (same math: gather∘einsum == einsum∘gather
+                # row-wise).  Materializing [B,Q,Hm,Wm] logits for every one
+                # of the 12 supervised sets — as the reference does
+                # (dfine_decoder.py:998-1022) and as eval still does below —
+                # costs 12x the pixels the losses consume; measured on TPU it
+                # put the segment train step at 3197 ms vs 261 ms for detect
+                # (NOTES.md r4).  The matcher never sees masks (matcher.py
+                # costs = class/bbox/giou), so matching is unaffected.
+                mask_embed = [mask_mlp(h) for h in hs_m]
                 if hs_dn is not None:
-                    dn_masks = [mask_logits(h) for h in hs_dn]
+                    dn_embed = [mask_mlp(h) for h in hs_dn]
+            else:
+                pred_masks = jnp.einsum(
+                    "bqc,bxyc->bqxy", mask_mlp(hs_m[-1]), mask_feat
+                )
 
         # ---- outputs
         if not train:
@@ -656,8 +667,9 @@ class DFINETransformer(nn.Module):
             "pred_corners": dec_corners[-1],
             "ref_points": dec_refs[-1],
         }
-        if pred_masks is not None:
-            out["pred_masks"] = pred_masks
+        if mask_embed is not None:
+            out["mask_embed"] = mask_embed[-1]
+            out["mask_feat"] = mask_feat
         if self.aux_loss:
             out["aux_outputs"] = [
                 {
@@ -665,7 +677,7 @@ class DFINETransformer(nn.Module):
                     "pred_boxes": dec_bboxes[i],
                     "pred_corners": dec_corners[i],
                     "ref_points": dec_refs[i],
-                    **({"pred_masks": aux_masks[i]} if aux_masks is not None else {}),
+                    **({"mask_embed": mask_embed[i]} if mask_embed is not None else {}),
                 }
                 for i in range(len(dec_logits) - 1)
             ]
@@ -679,7 +691,7 @@ class DFINETransformer(nn.Module):
                         "pred_boxes": dn_bboxes[i],
                         "pred_corners": dn_corners[i],
                         "ref_points": dn_refs2[i],
-                        **({"pred_masks": dn_masks[i]} if dn_masks is not None else {}),
+                        **({"mask_embed": dn_embed[i]} if dn_embed is not None else {}),
                     }
                     for i in range(len(dn_logits_out))
                 ]

@@ -37,8 +37,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_INF = jnp.float32(1e30)
+# np (not jnp): a module-level jnp constant initializes the XLA backend at
+# import time, which breaks jax.distributed.initialize() in multi-host
+# entrypoints (it must run before any backend init)
+_INF = np.float32(1e30)
 
 
 def _solve_one(cost: jnp.ndarray, row_valid: jnp.ndarray) -> jnp.ndarray:

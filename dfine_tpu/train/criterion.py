@@ -248,12 +248,29 @@ def loss_ddf(
     return {"loss_ddf": (loss_pos * num_pos + loss_neg * num_neg) / (num_pos + num_neg)}
 
 
-def loss_masks(outputs, tgt, match_q, pair_valid, cfg: CriterionConfig, tgt_idx=None):
+def loss_masks(outputs, tgt, match_q, pair_valid, cfg: CriterionConfig, tgt_idx=None,
+               mask_feat=None):
     """Adaptive-alpha focal BCE + Dice on matched instances
-    (reference dfine_criterion.py:239-357)."""
-    if "pred_masks" not in outputs or "masks" not in tgt:
+    (reference dfine_criterion.py:239-357).
+
+    Two input forms:
+    * ``mask_embed`` [B,Q,C] + shared ``mask_feat`` [B,Hm,Wm,C] (lazy TPU
+      path, decoder.py train mode): gather the K matched embeddings, then
+      einsum only those against mask_feat — row-wise identical to slicing the
+      full [B,Q,Hm,Wm] logits, at 1/12th the pixel work across the supervised
+      sets (the dominant cost of the segment train step, NOTES.md r4).
+    * precomputed ``pred_masks`` [B,Q,Hm,Wm] (reference layout; used by the
+      parity tests that replay torch outputs).
+    """
+    if "masks" not in tgt:
         return {}
-    pred = _gather_bk(outputs["pred_masks"].astype(jnp.float32), match_q)  # [B,K,Hm,Wm]
+    if mask_feat is not None and "mask_embed" in outputs:
+        emb = _gather_bk(outputs["mask_embed"], match_q)  # [B,K,C] — tiny
+        pred = jnp.einsum("bkc,bxyc->bkxy", emb, mask_feat).astype(jnp.float32)
+    elif "pred_masks" in outputs:
+        pred = _gather_bk(outputs["pred_masks"].astype(jnp.float32), match_q)  # [B,K,Hm,Wm]
+    else:
+        return {}
     gt = tgt["masks"].astype(jnp.float32)
     if tgt_idx is not None:
         gt = _gather_bk(gt, tgt_idx)
@@ -462,13 +479,14 @@ def criterion_forward(
                 )
                 for k, j in enumerate(ddf_ids):
                     put("loss_ddf", suffixes[loc_ids[j]], ddf_s[k])
+    mfeat = outputs.get("mask_feat")
     if "masks" in use:
         mask_sets = [(outputs, m_final, "")] + [
             (aux, m_aux[i], f"_aux_{i}")
             for i, aux in enumerate(outputs.get("aux_outputs", []))
         ]
         for s_, mt_, suf in mask_sets:
-            d = loss_masks(s_, targets, mt_, valid, cfg)
+            d = loss_masks(s_, targets, mt_, valid, cfg, mask_feat=mfeat)
             losses.update(_weighted(d, wd, suf))
 
     # ---- DN branch: deterministic matching (reference :610-632)
@@ -502,7 +520,10 @@ def criterion_forward(
         # when masks are on, the reference's zip truncation drops the final
         # DN layer from dn_outputs and supervises its masks separately as
         # "_dn_final" (dfine_decoder.py:1085-1127, dfine_criterion.py:552-560)
-        has_dn_masks = "masks" in use and "pred_masks" in dn_sets[0]
+        has_dn_masks = "masks" in use and (
+            "pred_masks" in dn_sets[0]
+            or (mfeat is not None and "mask_embed" in dn_sets[0])
+        )
         dn_iter = dn_sets[:-1] if has_dn_masks else dn_sets
         # DN sets share indices (dn_q/dn_t are deterministic) — stack and
         # vmap, mirroring the main-branch fusion above.
@@ -560,11 +581,13 @@ def criterion_forward(
                         put("loss_ddf", f"_dn_{i}", ddf_dn[j])
         if has_dn_masks:
             for i, dn in enumerate(dn_iter):
-                d = loss_masks(dn, targets, dn_q, dn_pair_valid, cfg, tgt_idx=dn_t)
+                d = loss_masks(dn, targets, dn_q, dn_pair_valid, cfg, tgt_idx=dn_t,
+                               mask_feat=mfeat)
                 losses.update(_weighted(d, wd, f"_dn_{i}"))
 
         if has_dn_masks:
-            d = loss_masks(dn_sets[-1], targets, dn_q, dn_pair_valid, cfg, tgt_idx=dn_t)
+            d = loss_masks(dn_sets[-1], targets, dn_q, dn_pair_valid, cfg, tgt_idx=dn_t,
+                           mask_feat=mfeat)
             losses.update(_weighted(d, wd, "_dn_final"))
 
         if "dn_pre_outputs" in outputs:

@@ -211,3 +211,49 @@ def test_criterion_dn_teacher_without_corners():
     assert not any(k.startswith("loss_ddf_dn") for k in res)
     for k, v in res.items():
         assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_lazy_mask_embed_matches_precomputed_pred_masks():
+    """decoder.py train mode now ships mask_embed [B,Q,C] + mask_feat
+    [B,Hm,Wm,C] instead of per-set [B,Q,Hm,Wm] logits; the criterion einsums
+    only the matched rows.  gather(einsum) == einsum(gather) row-wise, so the
+    losses must match the precomputed-pred_masks path to float tolerance."""
+    from dfine_tpu.train.criterion import CriterionConfig, criterion_forward
+
+    rng = np.random.default_rng(3)
+    B, Q, C, G, hm, ch = 2, 12, 5, 4, 16, 8
+    out = make_outputs(rng, B, Q, C, G, masks=False)
+    tgt = make_targets(rng, B, G, C, n_valid=[3, 2], masks=True, hm=hm)
+
+    feat = jnp.asarray(rng.normal(size=(B, hm, hm, ch)).astype(np.float32))
+    def emb(q):
+        return jnp.asarray(rng.normal(size=(B, q, ch)).astype(np.float32))
+
+    D = out["dn_outputs"][0]["pred_logits"].shape[1]
+    lazy = dict(out)
+    lazy["mask_feat"] = feat
+    lazy["mask_embed"] = emb(Q)
+    lazy["aux_outputs"] = [dict(a, mask_embed=emb(Q)) for a in out["aux_outputs"]]
+    lazy["dn_outputs"] = [dict(d, mask_embed=emb(D)) for d in out["dn_outputs"]]
+
+    dense = dict(out)
+    dense["pred_masks"] = jnp.einsum("bqc,bxyc->bqxy", lazy["mask_embed"], feat)
+    dense["aux_outputs"] = [
+        dict(a, pred_masks=jnp.einsum("bqc,bxyc->bqxy", la["mask_embed"], feat))
+        for a, la in zip(out["aux_outputs"], lazy["aux_outputs"])
+    ]
+    dense["dn_outputs"] = [
+        dict(d, pred_masks=jnp.einsum("bqc,bxyc->bqxy", ld["mask_embed"], feat))
+        for d, ld in zip(out["dn_outputs"], lazy["dn_outputs"])
+    ]
+
+    cfg = CriterionConfig(num_classes=C, losses=("vfl", "boxes", "local", "masks"))
+    l_lazy = criterion_forward(lazy, tgt, cfg)
+    l_dense = criterion_forward(dense, tgt, cfg)
+    assert set(l_lazy) == set(l_dense)
+    mask_keys = [k for k in l_lazy if "mask" in k]
+    assert mask_keys, l_lazy.keys()
+    for k in l_lazy:
+        np.testing.assert_allclose(
+            np.asarray(l_lazy[k]), np.asarray(l_dense[k]), rtol=2e-5, atol=1e-6,
+            err_msg=k)

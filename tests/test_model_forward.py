@@ -63,8 +63,18 @@ def test_train_forward_with_dn_and_masks():
     assert out["dn_outputs"][-1]["pred_logits"].shape == (2, d, 5)
     assert len(out["aux_outputs"]) == 3 - 1  # n has 3 decoder layers
     assert out["pred_corners"].shape == (2, 300, 4 * 33)
-    assert out["pred_masks"].shape[:2] == (2, 300)
-    assert out["dn_outputs"][0]["pred_masks"].shape[:2] == (2, d)
+    # train mode ships the LAZY mask head: per-set query embeddings + the
+    # shared pixel features (the criterion einsums only matched rows);
+    # [B,Q,Hm,Wm] pred_masks exist only in eval mode (decoder.py)
+    ch = out["mask_feat"].shape[-1]
+    assert out["mask_embed"].shape == (2, 300, ch)
+    # n's finest feature level is stride 16 (configs.py feat_strides), so the
+    # pixel decoder's upconv lands at stride 8 = 40x40 at 320 (s/m/l/x have a
+    # stride-8 level and land at stride 4, like the reference)
+    assert out["mask_feat"].shape[:3] == (2, 40, 40)
+    assert out["dn_outputs"][0]["mask_embed"].shape == (2, d, ch)
+    assert all("mask_embed" in a for a in out["aux_outputs"])
+    assert "pred_masks" not in out
     assert "batch_stats" in mutated
     for leaf in jax.tree.leaves(out):
         assert np.isfinite(np.asarray(leaf)).all()
