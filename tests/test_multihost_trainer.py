@@ -121,7 +121,9 @@ def _dataset(tmp_path_factory) -> Path:
     return root
 
 
-def _run(nproc: int, per_proc: int, data: Path, out: Path, timeout=1500):
+def _run(nproc: int, per_proc: int, data: Path, out: Path, timeout=3600):
+    # timeout: 2 concurrent n@256 XLA CPU compiles share this host's single
+    # core (and CI may run other load); 25 min was observed to be too short
     code = (
         WORKER.replace("@REPO@", str(REPO))
         .replace("@DATA@", str(data))
