@@ -32,6 +32,11 @@ import sys
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the dominant cost here is XLA CPU compiles of the
+# n@256 train/eval programs; cache them so re-runs (and where topology keys
+# allow, the sibling phase) skip the multi-minute compile on this 1-core host
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=@PERPROC@"
@@ -52,7 +57,8 @@ over = [
     "train.data_path=@DATA@",
     "train.img_size=[256,256]",  # n@256: 16*16+8*8=320 anchors >= 300 queries
     "train.batch_size=4",
-    "train.epochs=2",
+    "train.epochs=1",  # 1 epoch exercises everything the bar needs (train
+    # steps, strided eval + gather, rank-0 ckpt write); compile dominates cost
     "train.seed=0",
     "train.max_gt=8",
     "train.num_workers=2",
