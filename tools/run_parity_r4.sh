@@ -1,0 +1,63 @@
+#!/bin/bash
+# Resumable r4 multi-seed convergence-parity pipeline (VERDICT r3 item #1).
+#
+# Runs the symmetric-protocol recipe documented in PARITY.md ("Round 4"):
+# 3 seeds x {dfine_tpu on TPU, reference torch on CPU}, D-FINE-n@256,
+# segment, 16 epochs x 40 steps, augs OFF, eval every epoch, best-decision
+# checkpoint.  Idempotent: completed runs (result json present / torch
+# done_epochs == EPOCHS) are skipped, so the script can be re-launched
+# after a session restart.  Root lives under runs/ (gitignored) so it
+# survives VM restarts within the round.
+#
+# Usage:  nohup bash tools/run_parity_r4.sh > runs/parity_r4.log 2>&1 &
+set -u
+ROOT=/root/repo/runs/convds_r4
+EPOCHS=16
+IMG=256
+SEEDS="42 123 777"
+cd /root/repo
+mkdir -p "$ROOT"
+
+if [ ! -f "$ROOT/.gen_done" ]; then
+  python tools/convergence_parity.py gen --root "$ROOT" --img $IMG && touch "$ROOT/.gen_done"
+fi
+
+torch_done() {
+  python - "$1" <<'EOF'
+import json, sys
+from pathlib import Path
+p = Path(sys.argv[1])
+ok = p.exists() and json.loads(p.read_text()).get("done_epochs", 0) >= int(__import__("os").environ.get("EPOCHS", "16"))
+sys.exit(0 if ok else 1)
+EOF
+}
+export EPOCHS
+
+run_ours() {
+  for s in $SEEDS; do
+    if [ ! -f "$ROOT/result_ours_s$s.json" ]; then
+      echo "=== ours seed $s ==="
+      python tools/convergence_parity.py ours --root "$ROOT" --epochs $EPOCHS --seed "$s" --img $IMG \
+        || echo "ours seed $s FAILED"
+    fi
+  done
+}
+
+run_torch() {
+  for s in $SEEDS; do
+    if ! torch_done "$ROOT/result_torch_s$s.json"; then
+      echo "=== torch seed $s ==="
+      python tools/convergence_parity.py torch --root "$ROOT" --epochs $EPOCHS --seed "$s" --img $IMG \
+        || echo "torch seed $s FAILED"
+    fi
+  done
+}
+
+# torch (CPU-bound) and ours (TPU-bound, loader on CPU) overlap: total wall
+# is dominated by torch's CPU time either way on this 1-core host.
+run_torch &
+TORCH_PID=$!
+run_ours
+wait $TORCH_PID
+
+python tools/convergence_parity.py report --root "$ROOT"
