@@ -12,11 +12,18 @@
 # Usage:  nohup bash tools/run_parity_r4.sh > runs/parity_r4.log 2>&1 &
 set -u
 ROOT=/root/repo/runs/convds_r4
+ART=/root/repo/artifacts/parity_r4   # git-tracked: survives session restarts
 EPOCHS=16
 IMG=256
 SEEDS="42 123 777"
 cd /root/repo
-mkdir -p "$ROOT"
+mkdir -p "$ROOT" "$ART"
+
+# cross-session resume: scratch (runs/) dies with the VM, so completed-run
+# JSONs are mirrored into the git-tracked artifacts dir; restore them first
+cp -n "$ART"/result_*.json "$ROOT"/ 2>/dev/null || true
+
+sync_art() { cp -f "$ROOT"/result_*.json "$ROOT"/convergence_report.json "$ART"/ 2>/dev/null || true; }
 
 if [ ! -f "$ROOT/.gen_done" ]; then
   python tools/convergence_parity.py gen --root "$ROOT" --img $IMG && touch "$ROOT/.gen_done"
@@ -39,6 +46,7 @@ run_ours() {
       echo "=== ours seed $s ==="
       python tools/convergence_parity.py ours --root "$ROOT" --epochs $EPOCHS --seed "$s" --img $IMG \
         || echo "ours seed $s FAILED"
+      sync_art
     fi
   done
 }
@@ -49,6 +57,7 @@ run_torch() {
       echo "=== torch seed $s ==="
       python tools/convergence_parity.py torch --root "$ROOT" --epochs $EPOCHS --seed "$s" --img $IMG \
         || echo "torch seed $s FAILED"
+      sync_art
     fi
   done
 }
@@ -61,3 +70,4 @@ run_ours
 wait $TORCH_PID
 
 python tools/convergence_parity.py report --root "$ROOT"
+sync_art
