@@ -124,10 +124,24 @@ def cmd_ours(args):
     trainer = Trainer(cfg)
     final = trainer.train()  # reloads + re-evals the BEST-decision checkpoint
     dur = time.time() - t0
+    # done_epochs from metrics.csv (one row per completed epoch, append-on-
+    # resume): Trainer.train() swallows crashes into a best-ckpt eval, so the
+    # result JSON alone can't prove the full budget ran.  run_parity_r4.sh
+    # gates the skip on done_epochs >= EPOCHS, symmetric with the torch side
+    # (ADVICE r4: an ours crash at epoch 1 must not be recorded as complete).
+    done_epochs = 0
+    mcsv = out_dir / "metrics.csv"
+    if mcsv.exists():
+        import csv
+
+        rows = list(csv.DictReader(mcsv.open()))
+        if rows and "epoch" in rows[0]:
+            done_epochs = max(int(float(r["epoch"])) for r in rows) + 1
     res = {
         "framework": "dfine_tpu",
         "epochs": args.epochs,
         "seed": args.seed,
+        "done_epochs": done_epochs,
         "wall_s": round(dur, 1),
         "val": {k: v for k, v in final["val"].items() if isinstance(v, (int, float))},
     }

@@ -69,7 +69,10 @@ def cmd_train(args):
     from dfine_tpu.train.trainer import Trainer
 
     out = Path(args.out)
-    resume = (out / "checkpoint").exists() or any(out.glob("**/ckpt*"))
+    # trainer saves <out>/last.ckpt (trainer.py save_state layout) — gate
+    # resume on exactly that file (ADVICE r4 high: the old 'ckpt*' glob never
+    # matched 'last.ckpt', silently restarting multi-session runs at epoch 0)
+    resume = (out / "last.ckpt").exists()
     cfg = build_cfg(args, resume=resume)
     t0 = time.time()
     trainer = Trainer(cfg)
@@ -95,6 +98,10 @@ def cmd_post(args):
 
     from dfine_tpu.train.trainer import Trainer
 
+    out = Path(args.out)
+    # fail loudly rather than export/eval random-init weights (ADVICE r4:
+    # load_checkpoint silently no-ops when the file is missing)
+    assert (out / "best.ckpt").exists(), f"no trained checkpoint at {out}/best.ckpt — run the train phase first"
     cfg = build_cfg(args, resume=False)
     tr = Trainer(cfg)
     tr.load_checkpoint("best")
@@ -102,7 +109,6 @@ def cmd_post(args):
     print("best-ckpt val:", {k: round(v, 4) for k, v in m.items()
                              if isinstance(v, (int, float))})
 
-    out = Path(args.out)
     from dfine_tpu.export import export_model
 
     arts = export_model(

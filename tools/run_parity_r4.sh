@@ -12,7 +12,9 @@
 # after a session restart.  Root lives under runs/ (gitignored) so it
 # survives VM restarts within the round.
 #
-# Usage:  nohup bash tools/run_parity_r4.sh > runs/parity_r4.log 2>&1 &
+# Usage (registers for bench-pause via the setsid wrapper — ADVICE r4):
+#   nohup tools/bgjob.sh parity_r4 bash tools/run_parity_r4.sh \
+#     > runs/parity_r4.log 2>&1 &
 set -u
 ROOT=/root/repo/runs/convds_r4
 ART=/root/repo/artifacts/parity_r4   # git-tracked: survives session restarts
@@ -32,7 +34,10 @@ if [ ! -f "$ROOT/.gen_done" ]; then
   python tools/convergence_parity.py gen --root "$ROOT" --img $IMG && touch "$ROOT/.gen_done"
 fi
 
-torch_done() {
+# symmetric completion gate for BOTH frameworks (ADVICE r4: ours was skipped
+# on mere file existence, so a crash at epoch 1 was recorded as complete):
+# the result JSON must say done_epochs >= EPOCHS or the seed re-runs.
+run_done() {
   python - "$1" <<'EOF'
 import json, sys
 from pathlib import Path
@@ -41,13 +46,15 @@ ok = p.exists() and json.loads(p.read_text()).get("done_epochs", 0) >= int(__imp
 sys.exit(0 if ok else 1)
 EOF
 }
+torch_done() { run_done "$1"; }
 export EPOCHS
 
 run_ours() {
   for s in $SEEDS; do
-    if [ ! -f "$ROOT/result_ours_s$s.json" ]; then
+    if ! run_done "$ROOT/result_ours_s$s.json"; then
       echo "=== ours seed $s ==="
-      python tools/convergence_parity.py ours --root "$ROOT" --epochs $EPOCHS --seed "$s" --img $IMG \
+      # --resume: continue a partially-trained seed from last.ckpt
+      python tools/convergence_parity.py ours --root "$ROOT" --epochs $EPOCHS --seed "$s" --img $IMG --resume \
         || echo "ours seed $s FAILED"
       sync_art
     fi
