@@ -129,24 +129,51 @@ def make_image(rng, img_size: int, max_shapes: int = 5, n_classes: int = 3,
 
 def generate(root: Path, n_train: int, n_val: int, img_size: int = 320, seed: int = 0,
              n_classes: int = 3, max_shapes: int = 5,
-             min_r: float = 0.06, max_r: float = 0.18):
+             min_r: float = 0.06, max_r: float = 0.18,
+             per_image_seed: bool = False, resume: bool = False,
+             log_every: int = 0):
+    """Write the dataset; returns {"train": names, "val": names}.
+
+    ``per_image_seed=True`` derives an independent rng per image from
+    (seed, split, index), which makes generation order-free and therefore
+    RESUMABLE: with ``resume=True`` images whose jpg+txt already exist are
+    skipped at zero cost (VERDICT r4 weak #6: the r4 north-star gen died at
+    3046/6000 and a restart wasted all of it).  The default (False) keeps
+    the original single-sequential-rng draw order so existing r3/r4 parity
+    datasets stay byte-reproducible.  CSVs are written LAST in both modes,
+    so a train.csv/val.csv pair on disk certifies a complete dataset.
+    """
     root = Path(root)
     (root / "images").mkdir(parents=True, exist_ok=True)
     (root / "labels").mkdir(parents=True, exist_ok=True)
+    if resume and not per_image_seed:
+        raise ValueError("resume requires per_image_seed (sequential-rng "
+                         "draws cannot skip images without replaying them)")
     rng = np.random.default_rng(seed)
     names = {"train": [], "val": []}
-    for split, count in (("train", n_train), ("val", n_val)):
+    for si, (split, count) in enumerate((("train", n_train), ("val", n_val))):
         for i in range(count):
             name = f"{split}_{i:05d}.jpg"
-            img, anns = make_image(rng, img_size, max_shapes, n_classes,
+            img_p = root / "images" / name
+            lbl_p = root / "labels" / (Path(name).stem + ".txt")
+            names[split].append(name)
+            if per_image_seed:
+                if resume and img_p.exists() and lbl_p.exists():
+                    continue
+                rng_i = np.random.default_rng([seed, si, i])
+            else:
+                rng_i = rng
+            img, anns = make_image(rng_i, img_size, max_shapes, n_classes,
                                    min_r, max_r)
-            cv2.imwrite(str(root / "images" / name), img, [cv2.IMWRITE_JPEG_QUALITY, 95])
+            cv2.imwrite(str(img_p), img, [cv2.IMWRITE_JPEG_QUALITY, 95])
             lines = []
             for cls, poly in anns:
                 coords = " ".join(f"{v:.6f}" for v in poly.reshape(-1))
                 lines.append(f"{cls} {coords}")
-            (root / "labels" / (Path(name).stem + ".txt")).write_text("\n".join(lines))
-            names[split].append(name)
+            lbl_p.write_text("\n".join(lines))
+            if log_every and (i + 1) % log_every == 0:
+                print(f"{split}: {i + 1}/{count}", flush=True)
+    for split in names:
         (root / f"{split}.csv").write_text("\n".join(names[split]) + "\n")
     return names
 
@@ -162,7 +189,12 @@ if __name__ == "__main__":
     ap.add_argument("--max-shapes", type=int, default=5)
     ap.add_argument("--min-r", type=float, default=0.06)
     ap.add_argument("--max-r", type=float, default=0.18)
+    ap.add_argument("--per-image-seed", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--log-every", type=int, default=0)
     a = ap.parse_args()
     names = generate(Path(a.root), a.n_train, a.n_val, a.img_size, a.seed,
-                     a.n_classes, a.max_shapes, a.min_r, a.max_r)
+                     a.n_classes, a.max_shapes, a.min_r, a.max_r,
+                     per_image_seed=a.per_image_seed, resume=a.resume,
+                     log_every=a.log_every)
     print(f"wrote {len(names['train'])} train / {len(names['val'])} val to {a.root}")
