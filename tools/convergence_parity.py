@@ -114,6 +114,16 @@ def cmd_gen(args):
 
 
 def cmd_ours(args):
+    import os
+
+    import jax
+
+    # persistent TPU compile cache (same dir bench.py uses): seeds share
+    # identical compile keys, so only the first pays the multi-minute
+    # remote tunnel compile of the train/eval programs
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/dfine_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     from dfine_tpu.train.trainer import Trainer
 
     out_dir = Path(args.root) / f"run_ours_s{args.seed}"

@@ -65,7 +65,20 @@ def build_cfg(args, resume: bool):
     return load_config(REPO / "config.yaml", over)
 
 
+def _compile_cache():
+    import os
+
+    import jax
+
+    # persistent TPU compile cache shared with bench/parity tools: a
+    # resumed session skips the multi-minute m@640 remote compiles
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/dfine_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def cmd_train(args):
+    _compile_cache()
     from dfine_tpu.train.trainer import Trainer
 
     out = Path(args.out)
@@ -96,6 +109,7 @@ def cmd_post(args):
     export -> bench -> infer')."""
     import numpy as np
 
+    _compile_cache()
     from dfine_tpu.train.trainer import Trainer
 
     out = Path(args.out)
