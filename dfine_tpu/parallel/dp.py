@@ -140,6 +140,33 @@ def init_multihost(
     )
 
 
+_BARRIER_SEQ = {"n": 0}
+
+
+def barrier(name: str, timeout_ms: int = 1_800_000) -> None:
+    """Pod-wide rendezvous through the jax.distributed COORDINATION SERVICE
+    (not a gloo/ICI collective, so it tolerates minutes of arrival skew).
+
+    XLA:CPU's gloo transport has a hard ~30 s context-init handshake: if one
+    process reaches the pod's first collective >30 s before its peers (e.g.
+    1-core compile skew, or an asymmetric persistent-cache hit), the early
+    process dies with "Gloo context initialization failed: DEADLINE_EXCEEDED"
+    (found by tests/test_multihost_trainer.py, r5).  Calling ``barrier``
+    immediately before a phase's first collective equalizes arrival to
+    milliseconds.  All processes must call in the same order (SPMD host
+    code); names are sequence-suffixed so repeated phases stay unique.
+    """
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:  # not launched through jax.distributed (tests)
+        return
+    _BARRIER_SEQ["n"] += 1
+    client.wait_at_barrier(f"dfine_{name}_{_BARRIER_SEQ['n']}", timeout_ms)
+
+
 def process_count() -> int:
     return jax.process_count()
 
@@ -177,6 +204,10 @@ def gather_objects(local: list) -> list:
     import pickle
 
     from jax.experimental import multihost_utils
+
+    # arrival skew before this phase's first gloo collective (eval wall time
+    # differs per process) must stay under gloo's 30 s handshake budget
+    barrier("gather_objects")
 
     payload = np.frombuffer(pickle.dumps(list(local)), np.uint8)
     n = np.asarray([payload.size], np.int64)

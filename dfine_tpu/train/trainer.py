@@ -208,6 +208,8 @@ class Trainer:
         self.wandb = WandbGate(bool(t.use_wandb), cfg.project_name, cfg.exp, cfg.to_dict())
         self.best_metric = -1.0
         self.rng = jax.random.key(t.seed + 7)
+        # first multi-host train step: pre-compile + rendezvous (see loop)
+        self._mh_cold = self.dp_enabled and jax.process_count() > 1
 
     # -------------------------------------------------------------- eval --
 
@@ -320,6 +322,13 @@ class Trainer:
             self.logger.warning("interrupted — evaluating best checkpoint")
         except Exception as e:  # train crash must not lose the experiment
             self.logger.exception(f"training failed: {e}")
+            if jax.process_count() > 1:
+                # multi-host: a member that swallows its crash and moves on
+                # keeps issuing collectives out of step with its peers,
+                # producing undebuggable gloo/ICI size-mismatch crashes
+                # downstream (seen in tests/test_multihost_trainer.py r5).
+                # Fail the whole job instead, like torchrun would.
+                raise
         return self._final_eval()
 
     def _train_epochs(self) -> None:
@@ -348,6 +357,16 @@ class Trainer:
             for batch in self.train_iter:
                 batch = self._to_device(batch)
                 self.rng, step_rng = jax.random.split(self.rng)
+                if self._mh_cold:
+                    # multi-host: compile locally FIRST (no collectives),
+                    # then rendezvous, so no process reaches the pod's first
+                    # gloo/ICI collective while a peer is still compiling —
+                    # XLA:CPU gloo context init times out at ~30 s of skew
+                    from ..parallel import barrier
+
+                    self.train_step.lower(self.state, batch, step_rng).compile()
+                    barrier("train_step_compiled")
+                    self._mh_cold = False
                 self.state, metrics = self.train_step(self.state, batch, step_rng)
                 agg_dev = (
                     metrics

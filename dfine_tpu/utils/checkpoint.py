@@ -20,19 +20,40 @@ import jax
 import numpy as np
 
 
-def save_state(path: Path, state: Any) -> None:
+def _checkpointer():
+    """Orbax checkpointer that is safe under rank-0-only calling.
+
+    Plain ``PyTreeCheckpointer().save`` opens with a GLOBAL
+    ``sync_global_processes`` barrier; the trainer saves on rank 0 only
+    (reference train.py:419-456 semantics), so under ``jax.distributed`` the
+    other ranks never enter the barrier and rank 0 crashes with
+    "sync_global_devices name mismatch ('Checkpointer:save_start')" — found
+    by tests/test_multihost_trainer.py (r5).  Scoping the barrier to the
+    calling process alone (active_processes={pid}) makes save/restore
+    process-local: the state passed in is host-replicated numpy, so no
+    cross-process coordination is actually needed.
+    """
     import orbax.checkpoint as ocp
 
+    if jax.process_count() == 1:
+        return ocp.PyTreeCheckpointer()
+    pid = jax.process_index()
+    return ocp.Checkpointer(
+        ocp.PyTreeCheckpointHandler(),
+        multiprocessing_options=ocp.options.MultiprocessingOptions(
+            primary_host=pid, active_processes={pid},
+            barrier_sync_key_prefix=f"solo{pid}",
+        ),
+    )
+
+
+def save_state(path: Path, state: Any) -> None:
     path = Path(path).absolute()
-    ckpt = ocp.PyTreeCheckpointer()
-    ckpt.save(path, jax.tree.map(np.asarray, state), force=True)
+    _checkpointer().save(path, jax.tree.map(np.asarray, state), force=True)
 
 
 def restore_state(path: Path, template: Any) -> Any:
-    import orbax.checkpoint as ocp
-
-    ckpt = ocp.PyTreeCheckpointer()
-    return ckpt.restore(Path(path).absolute(), item=template)
+    return _checkpointer().restore(Path(path).absolute(), item=template)
 
 
 def save_params_npz(path: Path, variables: Dict) -> None:

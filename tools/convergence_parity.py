@@ -126,8 +126,11 @@ def cmd_ours(args):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     from dfine_tpu.train.trainer import Trainer
 
-    out_dir = Path(args.root) / f"run_ours_s{args.seed}"
+    tag = getattr(args, "tag", "") or ""
+    out_dir = Path(args.root) / f"run_ours{tag and '_' + tag}_s{args.seed}"
     cfg = build_cfg(Path(args.root), args.epochs, out_dir, seed=args.seed, img=args.img)
+    if getattr(args, "dtype", ""):
+        cfg.train["dtype"] = args.dtype  # diagnostic: e.g. float32 control
     if getattr(args, "resume", False):
         cfg.train["resume"] = True
     t0 = time.time()
@@ -151,11 +154,12 @@ def cmd_ours(args):
         "framework": "dfine_tpu",
         "epochs": args.epochs,
         "seed": args.seed,
+        "tag": tag,
         "done_epochs": done_epochs,
         "wall_s": round(dur, 1),
         "val": {k: v for k, v in final["val"].items() if isinstance(v, (int, float))},
     }
-    (Path(args.root) / f"result_ours_s{args.seed}.json").write_text(
+    (Path(args.root) / f"result_ours{tag and '_' + tag}_s{args.seed}.json").write_text(
         json.dumps(res, indent=2))
     print(json.dumps(res, indent=2))
 
@@ -459,6 +463,12 @@ if __name__ == "__main__":
             p.add_argument("--img", type=int, default=320)
         if name == "ours":
             p.add_argument("--resume", action="store_true")
+            p.add_argument("--tag", default="",
+                           help="diagnostic variant label; result goes to "
+                                "result_ours_<tag>_s<seed>.json (excluded "
+                                "from report aggregation)")
+            p.add_argument("--dtype", default="",
+                           help="override train.dtype (e.g. float32)")
         if name == "torch":
             # every epoch — must match ours' cadence for a fair best-ckpt max
             p.add_argument("--eval-every", type=int, default=1)
