@@ -28,7 +28,8 @@ import flax.linen as nn
 from ..ops.boxes import inverse_sigmoid
 from ..ops.deform_attn import ms_deform_attn_core, ms_deform_attn_core_fused
 from ..ops.fdr import distance2bbox, integral, weighting_function
-from .layers import ConvBNA, MLP, MultiHeadSelfAttention, bn_axis, get_activation
+from .layers import (ConvBNA, MLP, MultiHeadSelfAttention, bn_axis,
+                     get_activation, torch_bias_init, torch_kernel_init)
 from .denoising import build_cdn_queries, dn_attn_mask
 
 
@@ -229,9 +230,17 @@ class TransformerDecoderLayer(nn.Module):
         )(target + query_pos, ref_points, value, spatial_shapes)
         target = Gate(self.d_model, dtype=self.dtype, name="gateway")(target, t2)
 
-        ff = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(target)
+        # reference decoder FFN: xavier_uniform kernels (dfine_decoder.py:
+        # 224-225), torch-default uniform biases
+        ff = nn.Dense(
+            self.dim_feedforward, kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=torch_bias_init(target.shape[-1]), dtype=self.dtype, name="linear1",
+        )(target)
         ff = get_activation(self.activation)(ff)
-        ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
+        ff = nn.Dense(
+            self.d_model, kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=torch_bias_init(ff.shape[-1]), dtype=self.dtype, name="linear2",
+        )(ff)
         target = target + ff
         target = jnp.clip(target, -65504, 65504)
         return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(target).astype(
@@ -251,7 +260,8 @@ class MaskPixelDecoder(nn.Module):
     def __call__(self, feats: List[jnp.ndarray], enc_feat, train: bool = False):
         def lat(i, x):
             x = nn.Conv(
-                self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name=f"lateral_{i}"
+                self.out_ch, (1, 1), use_bias=False,
+                kernel_init=torch_kernel_init, dtype=self.dtype, name=f"lateral_{i}",
             )(x)
             return (
                 nn.BatchNorm(
@@ -272,9 +282,10 @@ class MaskPixelDecoder(nn.Module):
             t = jax.image.resize(t, (t.shape[0],) + size + (t.shape[-1],), "bilinear")
             x = x + t
         if self.use_enc and enc_feat is not None:
-            e = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="enc_proj")(
-                enc_feat
-            )
+            e = nn.Conv(
+                self.out_ch, (1, 1), use_bias=False,
+                kernel_init=torch_kernel_init, dtype=self.dtype, name="enc_proj",
+            )(enc_feat)
             e = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
@@ -291,6 +302,7 @@ class MaskPixelDecoder(nn.Module):
             strides=(2, 2),
             padding="VALID",
             use_bias=False,
+            kernel_init=torch_kernel_init,
             dtype=self.dtype,
             name="upconv",
         )(x)
@@ -355,7 +367,9 @@ class DFINETransformer(nn.Module):
                 proj.append(f)
             else:
                 proj.append(
-                    ConvBNA(hd, 1, 1, act=None, dtype=self.dtype, name=f"input_proj_{i}")(f, train)
+                    ConvBNA(hd, 1, 1, act=None,
+                            kernel_init=nn.initializers.xavier_uniform(),
+                            dtype=self.dtype, name=f"input_proj_{i}")(f, train)
                 )
         # extra pyramid levels if num_levels > len(feats)
         for i in range(len(feats), self.num_levels):
@@ -418,13 +432,19 @@ class DFINETransformer(nn.Module):
         valid_mask = jnp.asarray(valid_np)
         memory = valid_mask.astype(memory.dtype) * memory
 
-        out_mem = nn.Dense(hd, dtype=self.dtype, name="enc_output_proj")(memory)
+        # reference: xavier_uniform enc_output[0].weight (dfine_decoder.py:736)
+        out_mem = nn.Dense(
+            hd, kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=torch_bias_init(memory.shape[-1]),
+            dtype=self.dtype, name="enc_output_proj",
+        )(memory)
         out_mem = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="enc_output_norm")(
             out_mem
         ).astype(self.dtype)
         enc_logits_dim = 1 if self.query_select_method == "agnostic" else self.num_classes
         enc_logits = nn.Dense(
             enc_logits_dim,
+            kernel_init=torch_kernel_init,
             bias_init=nn.initializers.constant(cls_bias),
             dtype=self.dtype,
             name="enc_score_head",
@@ -516,7 +536,7 @@ class DFINETransformer(nn.Module):
 
         dec_bboxes, dec_logits, dec_corners, dec_refs, dec_hs = [], [], [], [], []
         pre_bboxes = pre_scores = ref_points_initial = None
-        query_pos_head = MLP(2 * hd, hd, 2, dtype=self.dtype, name="query_pos_head")
+        query_pos_head = MLP(2 * hd, hd, 2, xavier_kernels=True, dtype=self.dtype, name="query_pos_head")
 
         for i in range(num_run_layers):
             wide = ls > 1 and i >= eval_idx + 1
@@ -552,6 +572,7 @@ class DFINETransformer(nn.Module):
                 pre_bboxes = nn.sigmoid(pre_unact)
                 pre_scores = nn.Dense(
                     self.num_classes,
+                    kernel_init=torch_kernel_init,
                     bias_init=nn.initializers.constant(cls_bias),
                     dtype=self.dtype,
                     name="dec_score_head_0",
@@ -581,6 +602,7 @@ class DFINETransformer(nn.Module):
                 else:
                     scores = nn.Dense(
                         self.num_classes,
+                        kernel_init=torch_kernel_init,
                         bias_init=nn.initializers.constant(cls_bias),
                         dtype=self.dtype,
                         name=f"dec_score_head_{i}",

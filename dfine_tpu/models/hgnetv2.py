@@ -14,7 +14,8 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import ConvBN, LearnableAffine, get_activation, max_pool_2x2_s1, pad_rb
+from .layers import (ConvBN, LearnableAffine, get_activation,
+                     max_pool_2x2_s1, pad_rb, torch_bias_init, torch_kernel_init)
 
 # arch table: stem_channels, per-stage (mid, out, num_blocks, downsample,
 # light_block, kernel, layer_num).  Values match the reference registry
@@ -163,7 +164,11 @@ class EseModule(nn.Module):
     @nn.compact
     def __call__(self, x):
         s = jnp.mean(x, axis=(1, 2), keepdims=True)
-        s = nn.Conv(self.chs, (1, 1), use_bias=True, dtype=self.dtype, name="conv")(s)
+        s = nn.Conv(
+            self.chs, (1, 1), use_bias=True,
+            kernel_init=torch_kernel_init, bias_init=torch_bias_init(x.shape[-1]),
+            dtype=self.dtype, name="conv",
+        )(s)
         return x * nn.sigmoid(s)
 
 

@@ -19,7 +19,8 @@ import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import ConvBNA, MultiHeadSelfAttention, RepNCSPELAN4, SCDown, get_activation
+from .layers import (ConvBNA, MultiHeadSelfAttention, RepNCSPELAN4, SCDown,
+                     get_activation, torch_bias_init, torch_kernel_init)
 
 
 def sincos_pos_embed_2d(w: int, h: int, embed_dim: int, temperature: float = 10000.0) -> np.ndarray:
@@ -60,9 +61,17 @@ class AIFILayer(nn.Module):
         )
         src = src + attn
         src = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(src).astype(self.dtype)
-        ff = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(src)
+        # torch Linear defaults: the reference encoder layer has no explicit
+        # init (hybrid_encoder.py defines no _reset_parameters for the FFN)
+        ff = nn.Dense(
+            self.dim_feedforward, kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(src.shape[-1]), dtype=self.dtype, name="linear1",
+        )(src)
         ff = get_activation(self.act)(ff)
-        ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
+        ff = nn.Dense(
+            self.d_model, kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(ff.shape[-1]), dtype=self.dtype, name="linear2",
+        )(ff)
         src = src + ff
         return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(src).astype(self.dtype)
 

@@ -45,6 +45,32 @@ def bn_axis(train: bool) -> Optional[str]:
     return _BN_AXIS if train else None
 
 
+# ------------------------------------------------------ torch-default init --
+# The reference leaves most layers at torch's defaults, which differ from
+# flax's: torch nn.Conv2d/nn.Linear reset_parameters draws kernels from
+# kaiming_uniform(a=sqrt(5)) == variance_scaling(1/3, fan_in, uniform)
+# (~1.73x SMALLER std than flax's lecun_normal) and biases from
+# uniform(+-1/sqrt(fan_in)) (flax: zeros).  With matched hyperparameters the
+# init distribution is the remaining degree of freedom in training dynamics
+# (tests/test_train_equivalence.py shows identical-weights trajectories
+# track), and the r5 8-epoch parity runs measured a large early-convergence
+# deficit against the torch reference before this matching.
+
+torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(fan_in: int):
+    """torch Linear/Conv bias: uniform(+-1/sqrt(fan_in))."""
+    import jax
+
+    bound = 1.0 / float(fan_in) ** 0.5 if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 def get_activation(name: Optional[str]) -> Callable[[jnp.ndarray], jnp.ndarray]:
     if name is None or name == "identity":
         return lambda x: x
@@ -103,6 +129,7 @@ class ConvBN(nn.Module):
             padding=padding,
             feature_group_count=self.groups,
             use_bias=False,
+            kernel_init=torch_kernel_init,
             dtype=self.dtype,
             name="conv",
         )(x)
@@ -134,6 +161,7 @@ class ConvBNA(nn.Module):
     padding: Optional[object] = None
     use_bias: bool = False
     act: Optional[str] = None
+    kernel_init: Callable = torch_kernel_init
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -143,6 +171,7 @@ class ConvBNA(nn.Module):
             padding = ((p, p), (p, p))
         else:
             padding = self.padding
+        fan_in = self.kernel * self.kernel * (x.shape[-1] // self.groups)
         x = nn.Conv(
             self.out_ch,
             (self.kernel, self.kernel),
@@ -150,6 +179,8 @@ class ConvBNA(nn.Module):
             padding=padding,
             feature_group_count=self.groups,
             use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=torch_bias_init(fan_in),
             dtype=self.dtype,
             name="conv",
         )(x)
@@ -267,7 +298,14 @@ class MultiHeadSelfAttention(nn.Module):
         """q/k/v: [B, L, C]; mask: bool [.., L, L] with True = KEEP."""
         c, h = self.embed_dim, self.num_heads
         d = c // h
-        qkv = nn.DenseGeneral(3 * c, use_bias=True, dtype=self.dtype, name="in_proj")
+        # torch nn.MultiheadAttention._reset_parameters: xavier_uniform
+        # in_proj weight, ZERO in_proj/out_proj biases, torch-default
+        # out_proj weight
+        qkv = nn.DenseGeneral(
+            3 * c, use_bias=True,
+            kernel_init=nn.initializers.xavier_uniform(),
+            dtype=self.dtype, name="in_proj",
+        )
         # torch packs weights row-wise [3C, C]: q rows, k rows, v rows
         wq = qkv(q)[..., :c]
         wk = qkv(k)[..., c : 2 * c]
@@ -284,7 +322,10 @@ class MultiHeadSelfAttention(nn.Module):
             logits = jnp.where(mask, logits, neg)
         attn = nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, wv).reshape(q.shape[:-1] + (c,))
-        return nn.Dense(c, use_bias=True, dtype=self.dtype, name="out_proj")(out)
+        return nn.Dense(
+            c, use_bias=True, kernel_init=torch_kernel_init,
+            dtype=self.dtype, name="out_proj",
+        )(out)
 
 
 class MLP(nn.Module):
@@ -298,6 +339,7 @@ class MLP(nn.Module):
     num_layers: int
     act: str = "relu"
     zero_last: bool = False
+    xavier_kernels: bool = False  # reference query_pos_head (:739-740)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -306,10 +348,15 @@ class MLP(nn.Module):
         for i in range(self.num_layers):
             last = i == self.num_layers - 1
             dim = self.out_dim if last else self.hidden_dim
-            kws = {}
             if last and self.zero_last:
                 kws = dict(
                     kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros
+                )
+            else:  # torch Linear defaults (or explicit xavier kernels)
+                kws = dict(
+                    kernel_init=(nn.initializers.xavier_uniform()
+                                 if self.xavier_kernels else torch_kernel_init),
+                    bias_init=torch_bias_init(x.shape[-1]),
                 )
             x = nn.Dense(dim, dtype=self.dtype, name=f"layers_{i}", **kws)(x)
             if not last:
