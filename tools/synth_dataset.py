@@ -94,10 +94,20 @@ def make_image(rng, img_size: int, max_shapes: int = 5, n_classes: int = 3,
     draw sequence); larger values use 7 polygon families x hue palette with
     variable instance density (VERDICT r3 item #2: ~20 classes)."""
     s = img_size
-    img = rng.integers(90, 150, size=(s, s, 3)).astype(np.uint8)
-    img = cv2.GaussianBlur(img, (0, 0), 3)
-    noise = rng.normal(0, 12, size=(s, s, 3))
-    img = np.clip(img.astype(np.float64) + noise, 0, 255).astype(np.uint8)
+    if n_classes <= 3:
+        # legacy path: keep the exact rng draw sequence + float64 math so
+        # r3/r4 parity datasets stay byte-reproducible
+        img = rng.integers(90, 150, size=(s, s, 3)).astype(np.uint8)
+        img = cv2.GaussianBlur(img, (0, 0), 3)
+        noise = rng.normal(0, 12, size=(s, s, 3))
+        img = np.clip(img.astype(np.float64) + noise, 0, 255).astype(np.uint8)
+    else:
+        # fast path (new datasets only): float32 noise + uint8 draws are
+        # ~2x faster per image on the 1-core host; same visual statistics
+        img = rng.integers(90, 150, size=(s, s, 3), dtype=np.uint8)
+        img = cv2.GaussianBlur(img, (0, 0), 3)
+        noise = rng.standard_normal((s, s, 3), dtype=np.float32) * 12
+        img = np.clip(img.astype(np.float32) + noise, 0, 255).astype(np.uint8)
 
     n = int(rng.integers(1, max_shapes + 1))
     anns = []
