@@ -392,6 +392,7 @@ class Trainer:
 
                 for s in device_memory_stats():  # VRAM-polling analog
                     self.logger.info(f"device memory: {s}")
+            self.logger.info(f"epoch {epoch}: train done ({dur:.0f}s), evaluating")
             metrics = self.evaluate("val")
             decision = float(
                 np.mean([metrics[k] for k in self.decision_metrics if k in metrics])
@@ -406,10 +407,12 @@ class Trainer:
                 f"epoch {epoch}: f1={metrics['f1']:.4f} mAP50={metrics.get('mAP_50', 0):.4f} "
                 f"decision={decision:.4f} ({dur:.0f}s)"
             )
-            self.save_checkpoint("last")
+            # one device->host fetch serves both tags (the fetch is the
+            # expensive/tunnel-fragile part, ~2700 leaves for m-size state)
+            host_state = self.save_checkpoint("last")
             if decision > self.best_metric:
                 self.best_metric = decision
-                self.save_checkpoint("best")
+                self.save_checkpoint("best", _host_state=host_state)
                 stale = 0
             else:
                 stale += 1
@@ -440,18 +443,30 @@ class Trainer:
 
     # -------------------------------------------------------- checkpoints --
 
-    def save_checkpoint(self, tag: str) -> None:
+    def save_checkpoint(self, tag: str, _host_state=None):
+        """Save the full TrainState as <tag>.ckpt; returns the host-fetched
+        state so a caller saving multiple tags pays the fetch once."""
         import json
 
         if jax.process_index() != 0:  # rank-0-only writes (multi-host)
-            return
-        save_state(self.path_to_save / f"{tag}.ckpt", jax.tree.map(np.asarray, self.state))
+            return None
+        # log around the device->host state fetch: it is the largest single
+        # tunnel transaction in the loop, and a backend restart mid-RPC hangs
+        # it forever (observed r5) — these lines let a log-stall watchdog
+        # (tools/watchdog.py) localize and bound that failure
+        if _host_state is None:
+            t0 = time.time()
+            self.logger.info(f"checkpoint[{tag}]: fetching state")
+            _host_state = jax.tree.map(np.asarray, self.state)
+            self.logger.info(f"checkpoint[{tag}]: fetched in {time.time() - t0:.1f}s, writing")
+        save_state(self.path_to_save / f"{tag}.ckpt", _host_state)
         # best_metric rides a sidecar so resume cannot regress best.ckpt
         # (ADVICE r1: previously reset to -1.0, so the first post-resume epoch
         # always overwrote best even when worse).
         (self.path_to_save / f"{tag}.meta.json").write_text(
             json.dumps({"best_metric": self.best_metric})
         )
+        return _host_state
 
     def load_checkpoint(self, tag: str) -> None:
         import json
