@@ -229,7 +229,14 @@ class Trainer:
                  save_previews: bool = False) -> Dict:
         import concurrent.futures as cf
 
-        ds = self.loader.dataset(split, mode="val")
+        # memoized per split: loader.dataset() builds a fresh DetectionDataset
+        # whose decoded-image RAM cache would otherwise be discarded (and every
+        # val jpeg re-decoded) on each per-epoch eval
+        if not hasattr(self, "_eval_ds"):
+            self._eval_ds = {}
+        if split not in self._eval_ds:
+            self._eval_ds[split] = self.loader.dataset(split, mode="val")
+        ds = self._eval_ds[split]
         variables = self._current_eval_variables()
         bs = self.cfg.train.batch_size
         preds_all: List[Dict] = []
@@ -272,6 +279,9 @@ class Trainer:
                     images = np.concatenate(
                         [images, np.tile(images[-1:], (pad, 1, 1, 1))], 0
                     )
+                if bi and bi % 50 == 0:
+                    # liveness line for log-stall watchdogs (tools/watchdog.py)
+                    self.logger.info(f"eval[{split}] batch {bi}/{(n + bs - 1) // bs}")
                 decoded = jax.tree.map(
                     np.asarray, self._eval_fn(variables, jnp.asarray(images))
                 )
@@ -422,7 +432,9 @@ class Trainer:
 
     def _final_eval(self) -> Dict:
         # final: reload best, extended eval on val + test, plots
+        self.logger.info("final eval: loading best checkpoint")
         self.load_checkpoint("best")
+        self.logger.info("final eval: running extended val eval")
         final = {"val": self.evaluate("val", extended=True, save_previews=True)}
         self._last_validator.save_plots(self.path_to_save / "plots")
         if self.loader.splits["test"]:
